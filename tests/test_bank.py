@@ -1,0 +1,88 @@
+"""Unit tests for the pattern-bank core (no Ray needed)."""
+
+import hashlib
+
+import pyarrow as pa
+import pytest
+
+from logparser_ray.core import (
+    FALLTHROUGH_ID,
+    CompiledBank,
+    PatternBank,
+    Template,
+    template_id_of,
+)
+from logparser_ray import fixtures
+
+
+def test_template_id_is_md5_prefix():
+    t = "Tool <*> returned exit code <*> in <*> ms"
+    assert template_id_of(t) == hashlib.md5(t.encode()).hexdigest()[:8]
+    assert Template.from_string(t).template_id == template_id_of(t)
+
+
+def test_template_regexes():
+    t = Template.from_string("File <*> written successfully")
+    assert t.n_tokens == 4
+    assert t.n_slots == 1
+    assert t.anchored_regex() == r"^File\s+(\S+)\s+written\s+successfully$"
+    assert "(?P<p0>" in t.named_regex()
+
+
+def test_first_match_wins_specialization():
+    bank = PatternBank()
+    bank.add("Command git finished with status <*>", priority=0)
+    bank.add("Command <*> finished with status <*>", priority=1)
+    cb = bank.compile()
+    tid, tmpl, params = cb.match_array(
+        pa.array(
+            [
+                "Command git finished with status ok",
+                "Command make finished with status fail",
+            ]
+        )
+    )
+    assert tmpl.to_pylist() == [
+        "Command git finished with status <*>",
+        "Command <*> finished with status <*>",
+    ]
+    assert params.to_pylist() == [["ok"], ["make", "fail"]]
+
+
+def test_fallthrough_and_nulls():
+    cb = PatternBank([Template.from_string("Heartbeat ok", 0)]).compile()
+    tid, _, params = cb.match_array(pa.array(["Heartbeat ok", "nope", None]))
+    assert tid.to_pylist() == [template_id_of("Heartbeat ok"), FALLTHROUGH_ID, FALLTHROUGH_ID]
+    assert params.to_pylist() == [[], [], []]
+
+
+def test_bank_arrow_roundtrip_and_dedup():
+    bank = fixtures.pattern_bank()
+    rt = PatternBank.from_arrow(bank.to_arrow())
+    assert [t.template for t in rt] == [t.template for t in bank]
+    doubled = PatternBank(list(bank) + [Template.from_string(t.template, 99) for t in bank])
+    assert len(doubled.dedup()) == len(bank)
+
+
+def test_match_table_appends_columns():
+    cb = fixtures.pattern_bank().compile()
+    batch = pa.table({"text": ["Session started"], "conv_id": ["c0"]})
+    out = cb.match_table(batch)
+    assert out.column_names == ["text", "conv_id", "template_id", "template", "params"]
+
+
+def test_property_parse_render_roundtrip():
+    """parse(render(template, params)) == (template, params) — SURVEY.md §5.2 #4."""
+    bank = fixtures.pattern_bank()
+    cb = bank.compile()
+    texts, want_params = [], []
+    for t in bank:
+        fills = [f"v{i}" for i in range(t.n_slots)]
+        it = iter(fills)
+        texts.append(" ".join(next(it) if tok == "<*>" else tok for tok in t.tokens))
+        want_params.append(fills)
+    # the generalization pair: the specialized template would never render
+    # "Command v0 ..." so all renders must come back as themselves
+    tid, tmpl, params = cb.match_array(pa.array(texts))
+    assert tmpl.to_pylist() == [t.template for t in bank]
+    assert params.to_pylist() == want_params
