@@ -1,0 +1,72 @@
+"""The flagship parse → enrich → route → aggregate pipeline (SURVEY.md §3.4).
+
+    read_parquet(transcripts)
+      → match_stage       (compiled pattern bank, vectorized, broadcast once)
+      → enrich_stage      (broadcast dims: role_class / tool_family / is_sandboxed)
+      → [optional] routed write per (role, tool, template_id) with manifests
+      → sink_counts       (partial-agg → tiny groupby)
+
+Everything streams; nothing materializes the row-scale data on the driver.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import ray
+
+from logparser_ray import fixtures
+from logparser_ray.stages.aggregate import sink_counts, template_occurrences
+from logparser_ray.stages.enrich import enrich_stage
+from logparser_ray.stages.parse import match_stage
+from logparser_ray.state.manifest import RoutedRunner
+
+
+def parse_enrich(ds, bank=None, *, with_params: bool = True, concurrency=None):
+    """The stateless transform chain shared by all entry points."""
+    bank = bank or fixtures.pattern_bank()
+    ds = match_stage(ds, bank, with_params=with_params, concurrency=concurrency)
+    ds = enrich_stage(
+        ds, roles_dim=fixtures.roles_dim(), tools_dim=fixtures.tools_dim()
+    )
+    return ds
+
+
+def run_flagship(
+    input_dir: str,
+    *,
+    out_dir: str | None = None,
+    bank=None,
+    resume: bool = True,
+    with_params: bool = True,
+):
+    """Run the full pipeline over a transcripts Parquet directory.
+
+    Returns ``{"sink_counts": Dataset, "manifests": [...], "skipped": int}``.
+    When ``out_dir`` is None the routed write is skipped (aggregate only).
+    """
+    result: dict = {}
+    if out_dir is not None:
+        files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+        runner = RoutedRunner(
+            out_dir, lambda ds: parse_enrich(ds, bank, with_params=with_params)
+        )
+        fragments = {os.path.splitext(os.path.basename(f))[0]: [f] for f in files}
+        manifests, skipped = runner.run(fragments, resume=resume)
+        result["manifests"] = manifests
+        result["skipped"] = skipped
+        agg_input = ray.data.read_parquet(out_dir + "/")
+        # hive partition columns come back as strings; counts over them
+        result["sink_counts"] = sink_counts(agg_input)
+    else:
+        ds = ray.data.read_parquet(input_dir)
+        ds = parse_enrich(ds, bank, with_params=with_params)
+        result["sink_counts"] = sink_counts(ds)
+    return result
+
+
+def flagship_fixture(n_turns: int = 2_000, seed: int = 42, out_dir: str | None = None):
+    """Flagship over the deterministic transcripts fixture (cached Parquet)."""
+    tdir, _ = fixtures.ensure_transcripts(n_turns, seed=seed)
+    return run_flagship(tdir, out_dir=out_dir)
