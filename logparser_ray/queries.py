@@ -1,0 +1,530 @@
+"""Driver-checked query registry: Ray pipelines + matching DuckDB oracle SQL.
+
+Each SQL-expressible operator from SURVEY.md §2 (plus the training-data
+extras) gets a ``QUERIES[name]`` Ray implementation and an ``ORACLE[name]``
+ANSI-SQL string over the same parquet tables; the driver compares them at
+sf0.01 (row count + schema + order-insensitive value hash). Column names and
+value semantics match EXACTLY — float aggregates are computed in integer
+cents (or rounded identically on both sides with ``floor(x+0.5)``) so the
+hashes can't drift on summation order.
+
+Non-SQL-expressible ops (miners, dedup, ANN, evaluator, flagship
+transcripts pipeline) appear only in ``QUERIES`` → the driver records
+rows-only checks; pytest covers their semantics against fixtures/goldens.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from logparser_ray import fixtures
+from logparser_ray.core.evaluator import evaluate_pandas
+from logparser_ray.core.headerdsl import HeaderFormat
+from logparser_ray.stages.aggregate import grouped_count, sink_counts, template_occurrences
+from logparser_ray.stages.dedup import (
+    exact_dedup_representatives,
+    minhash_near_dupes,
+    simhash_clusters,
+)
+from logparser_ray.stages.multimodal import featurize_media, make_media_table
+from logparser_ray.stages.similarity import brute_force_topk, lsh_bucketed_topk
+from logparser_ray.stages.textstats import (
+    STOPWORDS,
+    langid_batch,
+    quality_batch,
+    token_count_batch,
+)
+from logparser_ray.pipelines import flagship
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def _turns_for(sf_dir: str) -> int:
+    """Transcript scale matched to the driver sf dirs (lineitem-row parity)."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 600_000}.get(name, 6_000)
+
+
+# ---------------------------------------------------------------------------
+# SQL-oracled queries
+# ---------------------------------------------------------------------------
+
+
+def q_events_by_type(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_type"])
+    return grouped_count(ds, ["event_type"], alias="n")
+
+
+def q_events_hourly(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def add_hour(b: pa.Table) -> pa.Table:
+        return b.append_column("hour", pc.floor_temporal(b["ts"], unit="hour"))
+
+    ds = ds.map_batches(add_hour, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_count(ds, ["hour", "event_type"], alias="n")
+
+
+def q_events_json_k(sf_dir: str):
+    """JSON field extract (SURVEY.md M7) + bucket aggregate, cents-exact."""
+    ds = _read(sf_dir, "events", columns=["props", "value"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        k = pc.extract_regex(b["props"].combine_chunks(), r'"k": (?P<k>\d+)').field("k")
+        kb = pc.cast(pc.divide(pc.cast(k, pa.int64()), 10), pa.int64())
+        cents = np.floor(
+            b["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        t = pa.table({"k_bucket": kb, "value_cents": pa.array(cents)})
+        agg = t.group_by(["k_bucket"]).aggregate(
+            [([], "count_all"), ("value_cents", "sum")]
+        )
+        return agg.rename_columns(["k_bucket", "n", "value_cents"])
+
+    partial = ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+    from ray.data.aggregate import Sum
+
+    return partial.groupby("k_bucket").aggregate(
+        Sum("n", alias_name="n"), Sum("value_cents", alias_name="value_cents")
+    )
+
+
+DOC_ROUTES = [("r_the", "^the "), ("r_join", " join "), ("r_spark", " spark ")]
+
+
+def q_docs_regex_route(sf_dir: str):
+    """Ordered first-match-wins regex routing (bank semantics, SQL-checkable)."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def route(b: pa.Table) -> pa.Table:
+        texts = b["text"].combine_chunks()
+        n = len(texts)
+        label = np.full(n, "_fallthrough", dtype=object)
+        unmatched = np.ones(n, dtype=bool)
+        for name, rx in DOC_ROUTES:
+            m = np.asarray(pc.match_substring_regex(texts, rx).fill_null(False))
+            m &= unmatched
+            label[m] = name
+            unmatched &= ~m
+        t = pa.table({"route": pa.array(label, pa.string())})
+        return t.group_by(["route"]).aggregate([([], "count_all")]).rename_columns(
+            ["route", "n"]
+        )
+
+    partial = ds.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+    from ray.data.aggregate import Sum
+
+    return partial.groupby("route").aggregate(Sum("n", alias_name="n"))
+
+
+def q_docs_token_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        token_count_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["doc_id", "n_tok"])
+
+
+def q_docs_word_freq_topk(sf_dir: str):
+    """SLCT-style global token frequency (SURVEY.md A9 shape), top 20."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def explode_count(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"].combine_chunks(), " ")
+        flat = pa.table({"tok": toks.flatten()})
+        return flat.group_by(["tok"]).aggregate([([], "count_all")]).rename_columns(
+            ["tok", "n"]
+        )
+
+    from ray.data.aggregate import Sum
+
+    partial = ds.map_batches(explode_count, batch_format="pyarrow", zero_copy_batch=True)
+    counts = partial.groupby("tok").aggregate(Sum("n", alias_name="n"))
+    return counts.sort(["n", "tok"], descending=[True, False]).limit(20)
+
+
+def q_docs_dedup_exact(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup_representatives(ds)
+
+
+def q_docs_lang_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    agg = ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"),
+        Max("n_chars", alias_name="max_chars"),
+    )
+    return agg
+
+
+def q_top_sources(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["source"])
+    counts = grouped_count(ds, ["source"], alias="n")
+    return counts.sort(["n", "source"], descending=[True, False]).limit(10)
+
+
+def q_orders_customer_join(sf_dir: str):
+    """Broadcast-dim join (SURVEY.md J3): revenue per market segment, cents-exact."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_arrow_refs()
+    cust_tbl = pa.concat_tables([ray.get(r) for r in cust])
+    ref = ray.put(cust_tbl)
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def join_agg(b: pa.Table) -> pa.Table:
+        dim = ray.get(ref)
+        idx = pc.index_in(b["o_custkey"], value_set=dim["c_custkey"].combine_chunks())
+        seg = dim["c_mktsegment"].combine_chunks().take(idx)
+        cents = np.floor(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        t = pa.table({"c_mktsegment": seg, "revenue_cents": pa.array(cents)})
+        agg = t.group_by(["c_mktsegment"]).aggregate(
+            [([], "count_all"), ("revenue_cents", "sum")]
+        )
+        return agg.rename_columns(["c_mktsegment", "n_orders", "revenue_cents"])
+
+    from ray.data.aggregate import Sum
+
+    partial = ds.map_batches(join_agg, batch_format="pyarrow", zero_copy_batch=True)
+    return partial.groupby("c_mktsegment").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("revenue_cents", alias_name="revenue_cents"),
+    )
+
+
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate, integer-exact."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = np.floor(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False))
+            * 100
+            + 0.5
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "sum_qty": pa.array(qty),
+                "revenue_cents": pa.array(rev),
+            }
+        )
+        agg = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("sum_qty", "sum"), ("revenue_cents", "sum"), ([], "count_all")]
+        )
+        return agg.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "revenue_cents", "n"]
+        )
+
+    from ray.data.aggregate import Sum
+
+    p = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return p.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("revenue_cents", alias_name="revenue_cents"),
+        Sum("n", alias_name="n"),
+    )
+
+
+def q_nation_region_join(sf_dir: str):
+    region = _read(sf_dir, "region").to_pandas()
+    ref = ray.put(dict(zip(region["r_regionkey"], region["r_name"])))
+    ds = _read(sf_dir, "nation", columns=["n_regionkey"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(ref)
+        b["r_name"] = b["n_regionkey"].map(lut)
+        return b[["r_name"]]
+
+    mapped = ds.map_batches(fn, batch_format="pandas")
+    return grouped_count(mapped, ["r_name"], alias="n_nations")
+
+
+def q_events_filter(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    return ds.map_batches(
+        lambda b: b.filter(
+            pc.and_(pc.equal(b["event_type"], "error"), pc.greater(b["value"], 100.0))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_events_sessionize(sf_dir: str):
+    """Gap-based sessionization (windowed op per SURVEY.md §2.7 'ours')."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff().dt.total_seconds()
+        n_sessions = int((gaps.isna() | (gaps > 1800)).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions]})
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def q_docs_quality_by_lang(sf_dir: str):
+    """Stopword-ratio quality score aggregated per lang (SQL-checkable)."""
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        q = quality_batch(b)  # adds n_tok / stop_ratio (rounded 4) per row
+        t = pa.table(
+            {
+                "lang": q["lang"],
+                "stop_ratio": q["stop_ratio"],
+            }
+        )
+        agg = t.group_by(["lang"]).aggregate([("stop_ratio", "sum"), ([], "count_all")])
+        return agg.rename_columns(["lang", "sum_ratio", "n_docs"])
+
+    from ray.data.aggregate import Sum
+
+    p = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = p.groupby("lang").aggregate(
+        Sum("sum_ratio", alias_name="sum_ratio"), Sum("n_docs", alias_name="n_docs")
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        avg = np.round(
+            b["sum_ratio"].to_numpy(zero_copy_only=False)
+            / b["n_docs"].to_numpy(zero_copy_only=False),
+            3,
+        )
+        return pa.table(
+            {"lang": b["lang"], "n_docs": b["n_docs"], "avg_stop_ratio": pa.array(avg)}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_embeddings_knn(sf_dir: str):
+    """Brute-force cosine top-5 vs the vec_id=0 embedding.
+
+    Cosines are reported in integer basis points (``floor(cos*1e4+0.5)``) so
+    the DuckDB oracle hash can't drift on float32/float64 representation.
+    """
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = (
+        ds.filter(expr="vec_id == 0")
+        .to_pandas()["embedding"]
+        .iloc[0]
+    )
+    out = brute_force_topk(ds, np.asarray(q, dtype=np.float64), k=32)
+    out["cos_bp"] = np.floor(out["cos"] * 10_000 + 0.5).astype(np.int64)
+    out = out.sort_values(["cos_bp", "vec_id"], ascending=[False, True]).head(5)
+    return out[["vec_id", "cos_bp"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible; semantics covered by pytest)
+# ---------------------------------------------------------------------------
+
+
+def q_transcripts_sink_counts(sf_dir: str):
+    """The flagship per-sink aggregate (A14) over the transcripts fixture."""
+    tdir, _ = fixtures.ensure_transcripts(_turns_for(sf_dir))
+    ds = ray.data.read_parquet(tdir)
+    out = flagship.parse_enrich(ds, with_params=False)
+    return sink_counts(out)
+
+
+def q_transcripts_templates(sf_dir: str):
+    """The reference's _templates.csv aggregate over the fixture (S5)."""
+    tdir, _ = fixtures.ensure_transcripts(_turns_for(sf_dir))
+    ds = ray.data.read_parquet(tdir)
+    out = flagship.parse_enrich(ds, with_params=False)
+    return template_occurrences(out)
+
+
+def q_transcripts_structured(sf_dir: str):
+    """The reference's _structured.csv shape: input + template_id/template/params."""
+    tdir, _ = fixtures.ensure_transcripts(min(_turns_for(sf_dir), 60_000))
+    ds = ray.data.read_parquet(tdir)
+    return flagship.parse_enrich(ds, with_params=True)
+
+
+def q_rawlog_structured(sf_dir: str):
+    """Header-DSL parse of the loghub-style rawlog fixture (S1–S2)."""
+    lines, _ = fixtures.make_rawlog(n_lines=500)
+    ds = ray.data.from_arrow(pa.table({"text": lines}))
+    hf = HeaderFormat(fixtures.RAWLOG_FORMAT)
+    parsed = ds.map_batches(
+        lambda b: hf.parse_table(b, keep_line=True), batch_format="pyarrow"
+    )
+    return grouped_count(parsed, ["Level", "_quarantined"], alias="n")
+
+
+def q_docs_unigram_near_dupes(sf_dir: str):
+    """MinHash+LSH near-dup pairs (unigram Jaccard ≥ 0.5) over documents."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_near_dupes(ds, k=1, bands=16, rows_per_band=2, threshold=0.5)
+
+
+def q_docs_simhash_clusters(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_clusters(ds)
+
+
+def q_docs_langid(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    out = ds.map_batches(langid_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_count(out, ["lang", "lang_guess"], alias="n")
+
+
+def q_embeddings_lsh_knn(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = ds.filter(expr="vec_id == 0").to_pandas()["embedding"].iloc[0]
+    return lsh_bucketed_topk(ds, np.asarray(q, dtype=np.float64), k=5)
+
+
+def q_media_features(sf_dir: str):
+    ds = ray.data.from_arrow(make_media_table(n=64))
+    return featurize_media(ds)
+
+
+def q_evaluator_fixture(sf_dir: str):
+    truth, parsed, _ = fixtures.make_evaluator_fixture()
+    res = evaluate_pandas(
+        truth.to_pandas(), parsed.to_pandas(), key=["conv_id", "turn_idx"]
+    )
+    return res.to_table()
+
+
+# ---------------------------------------------------------------------------
+# registries
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "events_by_type": q_events_by_type,
+    "events_hourly": q_events_hourly,
+    "events_json_k": q_events_json_k,
+    "events_filter": q_events_filter,
+    "events_sessionize": q_events_sessionize,
+    "docs_regex_route": q_docs_regex_route,
+    "docs_token_counts": q_docs_token_counts,
+    "docs_word_freq_topk": q_docs_word_freq_topk,
+    "docs_dedup_exact": q_docs_dedup_exact,
+    "docs_lang_stats": q_docs_lang_stats,
+    "docs_quality_by_lang": q_docs_quality_by_lang,
+    "top_sources": q_top_sources,
+    "orders_customer_join": q_orders_customer_join,
+    "lineitem_pricing": q_lineitem_pricing,
+    "nation_region_join": q_nation_region_join,
+    "embeddings_knn": q_embeddings_knn,
+    # rows-only (non-SQL-expressible)
+    "transcripts_sink_counts": q_transcripts_sink_counts,
+    "transcripts_templates": q_transcripts_templates,
+    "transcripts_structured": q_transcripts_structured,
+    "rawlog_structured": q_rawlog_structured,
+    "docs_unigram_near_dupes": q_docs_unigram_near_dupes,
+    "docs_simhash_clusters": q_docs_simhash_clusters,
+    "docs_langid": q_docs_langid,
+    "embeddings_lsh_knn": q_embeddings_lsh_knn,
+    "media_features": q_media_features,
+    "evaluator_fixture": q_evaluator_fixture,
+}
+
+_STOPLIST_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+ORACLE = {
+    "events_by_type": "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    "events_hourly": (
+        "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n "
+        "FROM events GROUP BY 1, 2"
+    ),
+    "events_json_k": (
+        "SELECT CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) // 10 AS k_bucket, "
+        "count(*) AS n, sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_cents "
+        "FROM events GROUP BY 1"
+    ),
+    "events_filter": (
+        "SELECT event_id, event_type, value FROM events "
+        "WHERE event_type = 'error' AND value > 100"
+    ),
+    "events_sessionize": (
+        "SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions FROM ("
+        "  SELECT user_id, CASE WHEN prev_ts IS NULL OR "
+        "    epoch(ts - prev_ts) > 1800 THEN 1 ELSE 0 END AS is_new FROM ("
+        "    SELECT user_id, ts, lag(ts) OVER "
+        "      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events)) "
+        "GROUP BY user_id"
+    ),
+    "docs_regex_route": (
+        "SELECT CASE "
+        "WHEN regexp_matches(text, '^the ') THEN 'r_the' "
+        "WHEN regexp_matches(text, ' join ') THEN 'r_join' "
+        "WHEN regexp_matches(text, ' spark ') THEN 'r_spark' "
+        "ELSE '_fallthrough' END AS route, count(*) AS n "
+        "FROM documents GROUP BY route"
+    ),
+    "docs_token_counts": (
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents"
+    ),
+    "docs_word_freq_topk": (
+        "SELECT tok, count(*) AS n FROM "
+        "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) "
+        "GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20"
+    ),
+    "docs_dedup_exact": (
+        "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text"
+    ),
+    "docs_lang_stats": (
+        "SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars, "
+        "max(n_chars) AS max_chars FROM documents GROUP BY lang"
+    ),
+    "docs_quality_by_lang": (
+        "SELECT lang, count(*) AS n_docs, "
+        "round(avg(round(CAST(len(list_filter(string_split(text, ' '), "
+        f"x -> x IN ({_STOPLIST_SQL}))) AS DOUBLE) "
+        "/ greatest(len(string_split(text, ' ')), 1), 4)), 3) AS avg_stop_ratio "
+        "FROM documents GROUP BY lang"
+    ),
+    "top_sources": (
+        "SELECT source, count(*) AS n FROM documents GROUP BY source "
+        "ORDER BY n DESC, source ASC LIMIT 10"
+    ),
+    "orders_customer_join": (
+        "SELECT c.c_mktsegment, count(*) AS n_orders, "
+        "sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS revenue_cents "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_mktsegment"
+    ),
+    "lineitem_pricing": (
+        "SELECT l_returnflag, l_linestatus, sum(CAST(l_quantity AS BIGINT)) AS sum_qty, "
+        "sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) "
+        "AS revenue_cents, count(*) AS n "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    ),
+    "nation_region_join": (
+        "SELECT r.r_name, count(*) AS n_nations FROM nation n "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name"
+    ),
+    "embeddings_knn": (
+        "SELECT e.vec_id, CAST(floor(list_cosine_similarity("
+        "CAST(e.embedding AS DOUBLE[]), "
+        "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
+        ") * 10000 + 0.5) AS BIGINT) AS cos_bp "
+        "FROM embeddings e ORDER BY cos_bp DESC, e.vec_id ASC LIMIT 5"
+    ),
+}

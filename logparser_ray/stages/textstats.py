@@ -1,0 +1,142 @@
+"""Text-analysis stages for training-data pipelines (build-brief extras):
+
+language-ID (stopword/n-gram heuristic), quality scoring, token counting,
+and document fingerprinting (rolling hash). All vectorized per Arrow batch;
+no Python loop over rows in any hot path.
+
+These operate on the driver ``documents`` table (``doc_id, text, lang,
+source, n_chars``) but are generic over any string column.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# tiny per-language stopword markers for the heuristic language-ID; the
+# fixture corpus is synthetic so this is a deterministic toy, not linguistics
+LANG_MARKERS: dict[str, set[str]] = {
+    "en": {"the", "and", "of", "a", "to", "in"},
+    "es": {"el", "la", "de", "y", "que", "a"},
+    "de": {"der", "die", "und", "das", "zu", "in"},
+    "fr": {"le", "la", "et", "de", "un", "en"},
+    "zh": {"的", "是", "了", "在", "和"},
+}
+
+STOPWORDS = sorted({w for s in LANG_MARKERS.values() for w in s})
+
+
+def _tokens(texts: pa.Array) -> pa.ListArray:
+    return pc.split_pattern(texts, " ")
+
+
+def _per_list_sum(mask: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Sum a flat boolean/num array per list row given list offsets."""
+    if len(offsets) <= 1:
+        return np.zeros(0, dtype=np.int64)
+    cums = np.concatenate([[0], np.cumsum(mask.astype(np.int64))])
+    return cums[offsets[1:]] - cums[offsets[:-1]]
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace token count per row (SQL parity: len(string_split(text,' ')))."""
+    toks = _tokens(batch[text_col].combine_chunks())
+    return batch.append_column(
+        "n_tok", pc.cast(pc.list_value_length(toks), pa.int64())
+    )
+
+
+def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Quality signals: token count, mean token length, stopword ratio.
+
+    ``stop_ratio`` SQL parity: len(list_filter(string_split(text,' '),
+    x -> x IN (<STOPWORDS>))) / len(string_split(text,' ')).
+    """
+    texts = batch[text_col].combine_chunks()
+    toks = _tokens(texts)
+    offsets = np.asarray(toks.offsets)
+    flat = toks.flatten()
+    n_tok = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    is_stop = np.asarray(pc.is_in(flat, value_set=pa.array(STOPWORDS)).fill_null(False))
+    n_stop = _per_list_sum(is_stop, offsets)
+    denom = np.maximum(n_tok, 1)
+    stop_ratio = n_stop / denom
+    total_chars = _per_list_sum(
+        np.asarray(pc.utf8_length(flat), dtype=np.int64), offsets
+    )
+    mean_tok_len = total_chars / denom
+    out = batch.append_column("n_tok", pa.array(n_tok))
+    out = out.append_column("stop_ratio", pa.array(np.round(stop_ratio, 4)))
+    out = out.append_column("mean_tok_len", pa.array(np.round(mean_tok_len, 4)))
+    return out
+
+
+def langid_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Heuristic language ID: argmax of per-language marker-token hit counts.
+
+    Deterministic tie-break: languages tried in sorted order, first max wins;
+    rows with zero hits → 'und'.
+    """
+    texts = batch[text_col].combine_chunks()
+    toks = _tokens(texts)
+    offsets = np.asarray(toks.offsets)
+    flat = toks.flatten()
+    langs = sorted(LANG_MARKERS)
+    n = len(batch)
+    scores = np.zeros((len(langs), n), dtype=np.int64)
+    for i, lang in enumerate(langs):
+        hit = np.asarray(
+            pc.is_in(flat, value_set=pa.array(sorted(LANG_MARKERS[lang]))).fill_null(False)
+        )
+        scores[i] = _per_list_sum(hit, offsets)
+    best = np.argmax(scores, axis=0)  # first max wins (sorted lang order)
+    guess = np.array(langs, dtype=object)[best]
+    guess[scores.max(axis=0) == 0] = "und"
+    return batch.append_column("lang_guess", pa.array(guess, pa.string()))
+
+
+_FP_BASE = np.uint64(1099511628211)
+_FP_SEED = np.uint64(14695981039346656037)
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Order-sensitive rolling (FNV-style) fingerprint over token hashes.
+
+    Two documents share a fingerprint iff their token sequences are equal —
+    the cheap exact-dup key (SURVEY.md extras: document fingerprinting).
+    """
+    import pandas as pd
+
+    texts = batch[text_col].combine_chunks()
+    toks = _tokens(texts)
+    offsets = np.asarray(toks.offsets)
+    flat = toks.flatten().to_numpy(zero_copy_only=False)
+    th = pd.util.hash_array(flat, hash_key="rayparse-fp-0001").astype(np.uint64)
+    n = len(batch)
+    fps = np.empty(n, dtype=np.uint64)
+    # rolling hash is inherently sequential per doc, but vectorized across
+    # docs of equal position: iterate max_len times over a (n,) state vector
+    state = np.full(n, _FP_SEED, dtype=np.uint64)
+    lengths = offsets[1:] - offsets[:-1]
+    max_len = int(lengths.max()) if n else 0
+    for j in range(max_len):
+        active = lengths > j
+        idx = offsets[:-1][active] + j
+        state[active] = (state[active] ^ th[idx]) * _FP_BASE
+    fps = state
+    return batch.append_column(
+        "fingerprint", pa.array(fps.astype(np.int64).view(np.int64))
+    )
+
+
+def add_textstats(ds, text_col: str = "text", which: str = "quality"):
+    fn = {
+        "tokens": token_count_batch,
+        "quality": quality_batch,
+        "langid": langid_batch,
+        "fingerprint": fingerprint_batch,
+    }[which]
+    return ds.map_batches(
+        lambda b: fn(b, text_col), batch_format="pyarrow", zero_copy_batch=True
+    )

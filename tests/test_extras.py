@@ -1,0 +1,146 @@
+"""Tests for dedup / similarity / textstats / multimodal / evaluator stages."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from logparser_ray import fixtures
+from logparser_ray.core.evaluator import evaluate_pandas
+from logparser_ray.stages import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(ray_session):
+    import ray
+
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",  # near-dup of 0
+        "one two three four five six seven eight nine ten",
+        "one two three four five six seven eight nine ten",  # exact dup of 2
+        "completely different words appear here now okay yes",
+    ]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()), "text": base})
+    return ray.data.from_arrow(t)
+
+
+def test_exact_dedup(docs_with_dups):
+    out = dedup.exact_dedup_representatives(docs_with_dups).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert len(out) == 4  # 5 docs, one exact dup collapsed
+    assert out.loc[out.doc_id == 2, "n_copies"].iloc[0] == 2
+
+
+def test_minhash_finds_planted_near_dup(docs_with_dups):
+    pairs = dedup.minhash_near_dupes(docs_with_dups, k=2, bands=16, rows_per_band=2, threshold=0.5)
+    got = set(zip(pairs["a"], pairs["b"]))
+    assert (0, 1) in got, f"planted near-dup not found: {got}"
+    assert (2, 3) in got
+    row = pairs[(pairs.a == 2) & (pairs.b == 3)].iloc[0]
+    assert row["jaccard"] == 1.0
+
+
+def test_ngram_jaccard_math():
+    assert dedup.ngram_jaccard("a b c d", "a b c d", 2) == 1.0
+    assert dedup.ngram_jaccard("a b c", "x y z", 2) == 0.0
+
+
+def test_simhash_exact_dup_cluster(docs_with_dups):
+    out = dedup.simhash_clusters(docs_with_dups).to_pandas()
+    assert len(out) == 1
+    assert out["min_doc_id"].iloc[0] == 2
+    assert out["n_docs"].iloc[0] == 2
+
+
+def test_brute_force_topk_and_lsh_subset(ray_session):
+    import ray
+
+    rng = np.random.default_rng(3)
+    emb = rng.standard_normal((200, 16)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(200), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in emb], pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    q = emb[7]
+    bf = similarity.brute_force_topk(ds, q, k=5)
+    assert bf["vec_id"].iloc[0] == 7  # self is most similar
+    assert bf["cos"].iloc[0] == pytest.approx(1.0, abs=1e-6)
+    # exact reference
+    e = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    ref = np.argsort(-(e @ (q / np.linalg.norm(q))))[:5]
+    assert set(bf["vec_id"]) == set(ref.tolist())
+    # LSH result is a subset of corpus with identical cosines for returned ids
+    ann = similarity.lsh_bucketed_topk(ds, q, k=5)
+    full = dict(zip(bf["vec_id"], np.round(bf["cos"], 6)))
+    for _, r in ann.iterrows():
+        if r["vec_id"] in full:
+            assert round(r["cos"], 6) == full[r["vec_id"]]
+
+
+def test_textstats_vectorized_kernels():
+    b = pa.table({"text": ["the cat and the dog", "el y la", "xyzzy plugh"]})
+    q = textstats.quality_batch(b)
+    assert q["n_tok"].to_pylist() == [5, 3, 2]
+    assert q["stop_ratio"].to_pylist()[0] == pytest.approx(3 / 5)
+    lang = textstats.langid_batch(b)["lang_guess"].to_pylist()
+    assert lang[0] == "en"
+    assert lang[1] == "es"
+    assert lang[2] == "und"
+    fp = textstats.fingerprint_batch(b)["fingerprint"].to_pylist()
+    fp2 = textstats.fingerprint_batch(
+        pa.table({"text": ["the cat and the dog", "the cat and the dg", "xyzzy plugh"]})
+    )["fingerprint"].to_pylist()
+    assert fp[0] == fp2[0] and fp[1] != fp2[1] and fp[2] == fp2[2]
+
+
+def test_media_featurizer(ray_session):
+    import ray
+
+    ds = ray.data.from_arrow(multimodal.make_media_table(n=32))
+    out = multimodal.featurize_media(ds).to_pandas()
+    assert len(out) == 32
+    assert "payload" not in out.columns
+    assert len(out["features"].iloc[0]) == 8
+    with pytest.raises(NotImplementedError):
+        multimodal.MediaFeaturizer(decoder="real")
+
+
+def test_evaluator_fixture_accuracy():
+    truth, parsed, want = fixtures.make_evaluator_fixture()
+    res = evaluate_pandas(truth.to_pandas(), parsed.to_pandas(), key=["conv_id", "turn_idx"])
+    assert res.accuracy == pytest.approx(want)
+    # brute-force pairwise reference
+    t = truth.to_pandas()
+    p = parsed.to_pandas()
+    from itertools import combinations
+
+    keys = list(zip(t.conv_id, t.turn_idx))
+    tmap = dict(zip(keys, t.event_id))
+    pmap = dict(zip(zip(p.conv_id, p.turn_idx), p.event_id))
+    tp = sum(
+        1
+        for a, b in combinations(keys, 2)
+        if tmap[a] == tmap[b] and pmap[a] == pmap[b]
+    )
+    parsed_pairs = sum(1 for a, b in combinations(keys, 2) if pmap[a] == pmap[b])
+    truth_pairs = sum(1 for a, b in combinations(keys, 2) if tmap[a] == tmap[b])
+    assert res.precision == pytest.approx(tp / parsed_pairs)
+    assert res.recall == pytest.approx(tp / truth_pairs)
+
+
+def test_evaluator_distributed_matches_pandas(ray_session):
+    import ray
+
+    truth, parsed, _ = fixtures.make_evaluator_fixture()
+    res_pd = evaluate_pandas(truth.to_pandas(), parsed.to_pandas(), key=["conv_id", "turn_idx"])
+    from logparser_ray.core.evaluator import evaluate_datasets
+
+    res_ds = evaluate_datasets(
+        ray.data.from_arrow(truth), ray.data.from_arrow(parsed), key=["conv_id", "turn_idx"]
+    )
+    assert res_ds.accuracy == pytest.approx(res_pd.accuracy)
+    assert res_ds.f1 == pytest.approx(res_pd.f1)
