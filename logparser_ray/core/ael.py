@@ -1,0 +1,74 @@
+"""AEL — Abstracting Execution Logs bin-and-merge miner (SURVEY.md A3).
+
+Clean-room from public knowledge (Jiang et al., "An Automated Approach for
+Abstracting Execution Logs to Execution Events", 2008; structural anchor
+† ``logparser/AEL/AEL.py``). Semantics:
+
+1. *Categorize*: bin events by ``(n_tokens, n_dynamic_tokens)`` where
+   dynamic tokens are detected heuristically (contain digits or ``=``-value
+   shapes) — the bin key is the Ray ``groupby`` shuffle key.
+2. *Abstract*: within a bin, events sharing the identical constant-token
+   skeleton collapse to one template (dynamic positions → ``<*>``).
+3. *Reconcile*: merge templates (across bins) whose token sequences are
+   equal up to ``merge_pct`` differing constant positions → widen to
+   ``<*>`` (driver-side over the small template set).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from logparser_ray.core.bank import WILDCARD
+
+
+def is_dynamic(token: str) -> bool:
+    return any(ch.isdigit() for ch in token) or "=" in token
+
+
+def bin_key(tokens: list[str]) -> tuple[int, int]:
+    return len(tokens), sum(1 for t in tokens if is_dynamic(t))
+
+
+def abstract_bin(seqs: list[list[str]]) -> list[tuple[list[str], int]]:
+    """Step 2 over one bin: skeleton = tokens with dynamics wildcarded."""
+    agg: Counter = Counter()
+    order: dict[tuple, int] = {}
+    for s in seqs:
+        skel = tuple(WILDCARD if is_dynamic(t) else t for t in s)
+        agg[skel] += 1
+        order.setdefault(skel, len(order))
+    return [(list(k), agg[k]) for k in sorted(agg, key=lambda k: order[k])]
+
+
+def reconcile(
+    templates: list[tuple[list[str], int]], merge_pct: float = 0.1
+) -> list[tuple[list[str], int]]:
+    """Step 3: greedy merge of same-length templates differing in at most
+    ``ceil(merge_pct * n_tokens)`` positions (differences → ``<*>``)."""
+    out: list[tuple[list[str], int]] = []
+    for tokens, n in templates:
+        merged = False
+        budget = max(1, int(merge_pct * len(tokens)))
+        for i, (etoks, en) in enumerate(out):
+            if len(etoks) != len(tokens):
+                continue
+            diffs = [
+                j
+                for j, (a, b) in enumerate(zip(etoks, tokens))
+                if a != b and a != WILDCARD and b != WILDCARD
+            ]
+            soft = [
+                j
+                for j, (a, b) in enumerate(zip(etoks, tokens))
+                if a != b and (a == WILDCARD or b == WILDCARD)
+            ]
+            if len(diffs) == 0 and len(soft) <= budget:
+                new = [
+                    a if a == b else WILDCARD for a, b in zip(etoks, tokens)
+                ]
+                out[i] = (new, en + n)
+                merged = True
+                break
+        if not merged:
+            out.append((list(tokens), n))
+    return out

@@ -362,7 +362,7 @@ def ensure_transcripts(
         return tdir, (gpath if with_golden else None)
     transcripts, golden = make_transcripts(n_turns=n_turns, seed=seed)
     os.makedirs(tdir, exist_ok=True)
-    n_files = max(1, min(16, n_turns // 250_000))
+    n_files = max(1, min(16, n_turns // 75_000))
     step = (transcripts.num_rows + n_files - 1) // n_files
     for i in range(n_files):
         part = transcripts.slice(i * step, step)

@@ -20,7 +20,7 @@ from logparser_ray import fixtures
 from logparser_ray.stages.aggregate import sink_counts, template_occurrences
 from logparser_ray.stages.enrich import enrich_stage
 from logparser_ray.stages.parse import match_stage
-from logparser_ray.state.manifest import RoutedRunner
+from logparser_ray.state.manifest import RoutedRunner, manifests_sink_table
 
 
 def parse_enrich(ds, bank=None, *, with_params: bool = True, concurrency=None):
@@ -56,9 +56,9 @@ def run_flagship(
         manifests, skipped = runner.run(fragments, resume=resume)
         result["manifests"] = manifests
         result["skipped"] = skipped
-        agg_input = ray.data.read_parquet(out_dir + "/")
-        # hive partition columns come back as strings; counts over them
-        result["sink_counts"] = sink_counts(agg_input)
+        # per-sink counts straight from the lineage manifests (metadata only —
+        # no read-back of the routed files)
+        result["sink_counts"] = ray.data.from_arrow(manifests_sink_table(manifests))
     else:
         ds = ray.data.read_parquet(input_dir)
         ds = parse_enrich(ds, bank, with_params=with_params)

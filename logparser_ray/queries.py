@@ -403,6 +403,67 @@ def q_media_features(sf_dir: str):
     return featurize_media(ds)
 
 
+def _miner_query(fit):
+    """Mined-template bank over the transcripts fixture (rows-only check;
+    semantics covered by tests/test_miners.py accuracy assertions)."""
+
+    def q(sf_dir: str):
+        tdir, _ = fixtures.ensure_transcripts(min(_turns_for(sf_dir), 60_000))
+        ds = ray.data.read_parquet(tdir)
+        return fit(ds).to_arrow()
+
+    return q
+
+
+def _fit_drain(ds):
+    from logparser_ray.stages.mine import fit_bank
+
+    return fit_bank(ds, "drain", params={"depth": 3, "st": 0.4})
+
+
+def _fit_spell(ds):
+    from logparser_ray.stages.mine import fit_bank
+
+    return fit_bank(ds, "spell", params={"tau": 0.5})
+
+
+def _fit_lenma(ds):
+    from logparser_ray.stages.mine import fit_bank
+
+    return fit_bank(ds, "lenma", params={"threshold": 0.9})
+
+
+def _fit_slct(ds):
+    from logparser_ray.stages.mine import slct_fit
+
+    # support scales with corpus size (4% of rows — tuned on the fixture)
+    return slct_fit(ds, support=max(10, int(0.04 * ds.count())))
+
+
+def _fit_logram(ds):
+    from logparser_ray.stages.mine import logram_fit
+
+    return logram_fit(ds, threshold=max(10, int(0.04 * ds.count())))
+
+
+def _fit_lfa(ds):
+    from logparser_ray.stages.mine import lfa_fit
+
+    return lfa_fit(ds)
+
+
+def _fit_iplom(ds):
+    from logparser_ray.stages.mine import iplom_fit
+
+    return iplom_fit(ds)
+
+
+def _fit_ael(ds):
+    from logparser_ray.stages.mine import ael_fit
+
+    return ael_fit(ds)
+
+
 def q_evaluator_fixture(sf_dir: str):
     truth, parsed, _ = fixtures.make_evaluator_fixture()
     res = evaluate_pandas(
@@ -443,6 +504,15 @@ QUERIES = {
     "embeddings_lsh_knn": q_embeddings_lsh_knn,
     "media_features": q_media_features,
     "evaluator_fixture": q_evaluator_fixture,
+    # miner fits (rows-only: order-dependent/iterative, not SQL-expressible)
+    "drain_templates": _miner_query(_fit_drain),
+    "spell_templates": _miner_query(_fit_spell),
+    "lenma_templates": _miner_query(_fit_lenma),
+    "slct_templates": _miner_query(_fit_slct),
+    "logram_templates": _miner_query(_fit_logram),
+    "lfa_templates": _miner_query(_fit_lfa),
+    "iplom_templates": _miner_query(_fit_iplom),
+    "ael_templates": _miner_query(_fit_ael),
 }
 
 _STOPLIST_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)

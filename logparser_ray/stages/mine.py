@@ -1,0 +1,367 @@
+"""Distributed miner fit (SURVEY.md T1–T3, A2–A5, A9, A11).
+
+Two families:
+
+- **Online miners** (Drain, Spell, LenMa): order-dependent cluster state.
+  * ``mode="conformance"``: single sequential pass over rows sorted by
+    ``(conv_id, turn_idx)`` — reproduces the reference's order-dependent
+    clustering deterministically (SURVEY.md §7.4 #1).
+  * ``mode="scale"``: each *block* fits a partial miner inside
+    ``map_batches`` and emits its (tiny) bank; the driver merges partial
+    banks deterministically (sorted replay through a fresh miner). Different
+    from the sequential bank but valid and run-invariant.
+
+- **Count/group miners** (SLCT, Logram, LFA, IPLoM, AEL): expressed
+  directly as Ray Data shuffles — token/n-gram ``groupby.count`` with
+  per-batch partial counting, or ``groupby(bin).map_groups`` — the
+  shuffle-natural designs from SURVEY.md §7.3.
+
+All fits return a ``PatternBank``; matching is always the vectorized
+``stages.parse`` path over the compiled bank (fit/match split).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data.aggregate import Sum
+
+from logparser_ray.core.ael import abstract_bin, bin_key, reconcile
+from logparser_ray.core.bank import WILDCARD, PatternBank, Template
+from logparser_ray.core.drain import Drain
+from logparser_ray.core.iplom import mine_group
+from logparser_ray.core.lenma import LenMa
+from logparser_ray.core.spell import Spell
+
+MINERS = {"drain": Drain, "spell": Spell, "lenma": LenMa}
+
+
+def _new_miner(miner: str, params: dict | None):
+    return MINERS[miner](**(params or {}))
+
+
+def fit_bank(
+    ds,
+    miner: str = "drain",
+    *,
+    text_col: str = "text",
+    mode: str = "scale",
+    params: dict | None = None,
+    order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> PatternBank:
+    """Fit an online miner over a Dataset → merged PatternBank."""
+    if mode == "conformance":
+        m = _new_miner(miner, params)
+        ordered = ds.sort(list(order_cols))
+        for batch in ordered.iter_batches(
+            batch_size=65_536, batch_format="pyarrow", prefetch_batches=2
+        ):
+            m.fit_texts(batch[text_col].to_pylist())
+        return m.bank()
+    if mode != "scale":
+        raise ValueError(mode)
+
+    def fit_block(batch: pa.Table) -> pa.Table:
+        local = _new_miner(miner, params)
+        local.fit_texts(batch[text_col].to_pylist())
+        return local.bank().to_arrow()
+
+    partials = ds.select_columns([text_col]).map_batches(
+        fit_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    # partial banks are tiny (templates only) — safe to collect
+    tables = [ray.get(r) for r in partials.to_arrow_refs()]
+    merged = _new_miner(miner, params)
+    for t in sorted(
+        (PatternBank.from_arrow(tb) for tb in tables if tb.num_rows),
+        key=lambda b: tuple(t.template for t in b),
+    ):
+        merged.merge_bank(t)
+    return merged.bank()
+
+
+# ---------------------------------------------------------------------------
+# SLCT — (position, word) support counting (SURVEY.md A9)
+# ---------------------------------------------------------------------------
+
+_SEP = "\x00"
+
+
+def _token_lists(batch: pa.Table, text_col: str) -> pa.ListArray:
+    return pc.split_pattern(batch[text_col].combine_chunks(), " ")
+
+
+def _pos_keys(toks: pa.ListArray) -> pa.Array:
+    """Flat ``"{n_tokens}\\x00{pos}\\x00{token}"`` key array (vectorized)."""
+    offsets = np.asarray(toks.offsets)
+    lengths = offsets[1:] - offsets[:-1]
+    flat = toks.flatten()
+    pos = np.arange(len(flat), dtype=np.int64) - np.repeat(offsets[:-1], lengths)
+    ntok = np.repeat(lengths, lengths)
+    return pc.binary_join_element_wise(
+        pa.array(ntok.astype("U"), pa.string()),
+        pa.array(pos.astype("U"), pa.string()),
+        flat,
+        _SEP,
+    )
+
+
+def slct_fit(ds, *, text_col: str = "text", support: int = 10) -> PatternBank:
+    """Frequent (position, word) mining → templates; the most shuffle-natural
+    miner: two vectorized passes + two small groupbys."""
+
+    def count_keys(batch: pa.Table) -> pa.Table:
+        keys = _pos_keys(_token_lists(batch, text_col))
+        t = pa.table({"key": keys})
+        return t.group_by(["key"]).aggregate([([], "count_all")]).rename_columns(
+            ["key", "n"]
+        )
+
+    counts = (
+        ds.select_columns([text_col])
+        .map_batches(count_keys, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("key")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    freq_tbl = counts.filter(expr=f"n >= {support}").to_pandas()
+    frequent = ray.put(set(freq_tbl["key"]))
+
+    def templatize(batch: pa.Table) -> pa.Table:
+        fset = ray.get(frequent)
+        toks = _token_lists(batch, text_col)
+        keys = _pos_keys(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        keep = np.array([k in fset for k in keys], dtype=bool)
+        out_flat = np.where(keep, flat, WILDCARD)
+        lists = pa.ListArray.from_arrays(
+            toks.offsets, pa.array(out_flat, pa.string())
+        )
+        tmpl = pc.binary_join(lists, " ")
+        t = pa.table({"template": tmpl})
+        return t.group_by(["template"]).aggregate([([], "count_all")]).rename_columns(
+            ["template", "n"]
+        )
+
+    tcounts = (
+        ds.select_columns([text_col])
+        .map_batches(templatize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("template")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    tcounts = tcounts[tcounts["n"] >= support].sort_values(
+        ["n", "template"], ascending=[False, True]
+    )
+    return PatternBank(
+        [Template.from_string(t, prio) for prio, t in enumerate(tcounts["template"])]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Logram — n-gram dictionary mining (SURVEY.md A11)
+# ---------------------------------------------------------------------------
+
+
+def _bigram_keys(toks: pa.ListArray) -> pa.Array:
+    offsets = np.asarray(toks.offsets)
+    lengths = offsets[1:] - offsets[:-1]
+    flat = toks.flatten().to_numpy(zero_copy_only=False)
+    prev = np.empty(len(flat), dtype=object)
+    prev[1:] = flat[:-1]
+    starts = offsets[:-1][lengths > 0]
+    prev[starts] = "^"
+    joined = np.char.add(
+        np.char.add(prev.astype("U"), _SEP), flat.astype("U")
+    ).astype(object)
+    return pa.array(joined, pa.string())
+
+
+def logram_fit(ds, *, text_col: str = "text", threshold: int = 10) -> PatternBank:
+    """Bigram-dictionary mining: a token is dynamic iff its (prev, tok)
+    bigram is rare (< threshold); templates = distinct wildcarded rows."""
+
+    def count_bigrams(batch: pa.Table) -> pa.Table:
+        keys = _bigram_keys(_token_lists(batch, text_col))
+        t = pa.table({"key": keys})
+        return t.group_by(["key"]).aggregate([([], "count_all")]).rename_columns(
+            ["key", "n"]
+        )
+
+    counts = (
+        ds.select_columns([text_col])
+        .map_batches(count_bigrams, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("key")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    freq = ray.put(set(counts.filter(expr=f"n >= {threshold}").to_pandas()["key"]))
+
+    def templatize(batch: pa.Table) -> pa.Table:
+        fset = ray.get(freq)
+        toks = _token_lists(batch, text_col)
+        keys = _bigram_keys(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        keep = np.array([k in fset for k in keys], dtype=bool)
+        out_flat = np.where(keep, flat, WILDCARD)
+        lists = pa.ListArray.from_arrays(toks.offsets, pa.array(out_flat, pa.string()))
+        t = pa.table({"template": pc.binary_join(lists, " ")})
+        return t.group_by(["template"]).aggregate([([], "count_all")]).rename_columns(
+            ["template", "n"]
+        )
+
+    tcounts = (
+        ds.select_columns([text_col])
+        .map_batches(templatize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("template")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["n", "template"], ascending=[False, True])
+    )
+    return PatternBank(
+        [Template.from_string(t, prio) for prio, t in enumerate(tcounts["template"])]
+    )
+
+
+# ---------------------------------------------------------------------------
+# LFA — token-frequency miner (SURVEY.md A5)
+# ---------------------------------------------------------------------------
+
+
+def lfa_fit(ds, *, text_col: str = "text") -> PatternBank:
+    """Global token frequencies; per message, tokens at the message's max
+    frequency stay constant, the rest become ``<*>``. The frequency map is
+    broadcast (vocab-sized; at 100 TB swap for a pruned top-K map)."""
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        flat = _token_lists(batch, text_col).flatten()
+        t = pa.table({"tok": flat})
+        return t.group_by(["tok"]).aggregate([([], "count_all")]).rename_columns(
+            ["tok", "n"]
+        )
+
+    counts = (
+        ds.select_columns([text_col])
+        .map_batches(count_tokens, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    freq = ray.put(dict(zip(counts["tok"], counts["n"])))
+
+    def templatize(batch: pa.Table) -> pa.Table:
+        fmap = ray.get(freq)
+        toks = _token_lists(batch, text_col)
+        offsets = np.asarray(toks.offsets)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        f = np.array([fmap.get(t, 0) for t in flat], dtype=np.int64)
+        # per-row max frequency (split_pattern never yields empty lists, so
+        # every offsets[:-1] entry indexes a real token)
+        row_max = (
+            np.maximum.reduceat(f, offsets[:-1]) if len(f) else np.zeros(0, np.int64)
+        )
+        lengths = offsets[1:] - offsets[:-1]
+        keep = f == np.repeat(row_max, lengths)
+        out_flat = np.where(keep, flat, WILDCARD)
+        lists = pa.ListArray.from_arrays(toks.offsets, pa.array(out_flat, pa.string()))
+        t = pa.table({"template": pc.binary_join(lists, " ")})
+        return t.group_by(["template"]).aggregate([([], "count_all")]).rename_columns(
+            ["template", "n"]
+        )
+
+    tcounts = (
+        ds.select_columns([text_col])
+        .map_batches(templatize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("template")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["n", "template"], ascending=[False, True])
+    )
+    return PatternBank(
+        [Template.from_string(t, prio) for prio, t in enumerate(tcounts["template"])]
+    )
+
+
+# ---------------------------------------------------------------------------
+# IPLoM / AEL — group-then-label via groupby(n_tokens/bin).map_groups
+# ---------------------------------------------------------------------------
+
+
+def _with_ntok(ds, text_col: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = _token_lists(batch, text_col)
+        return batch.append_column(
+            "n_tokens", pc.cast(pc.list_value_length(toks), pa.int32())
+        )
+
+    return ds.select_columns([text_col]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def iplom_fit(
+    ds, *, text_col: str = "text", ct: float = 0.35, lower_bound: float = 0.25
+) -> PatternBank:
+    """Step 1 = the ``groupby(n_tokens)`` shuffle; steps 2–4 run per group."""
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        seqs = [t.split(" ") for t in g[text_col]]
+        mined = mine_group(seqs, ct=ct, lower_bound=lower_bound)
+        return pd.DataFrame(
+            {"template": [" ".join(t) for t, _ in mined], "n": [n for _, n in mined]}
+        )
+
+    out = (
+        _with_ntok(ds, text_col)
+        .groupby("n_tokens")
+        .map_groups(per_group, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["n", "template"], ascending=[False, True])
+    )
+    return PatternBank(
+        [Template.from_string(t, prio) for prio, t in enumerate(out["template"])]
+    )
+
+
+def ael_fit(ds, *, text_col: str = "text", merge_pct: float = 0.1) -> PatternBank:
+    """Bin by (n_tokens, n_dynamic) → abstract per bin → reconcile globally."""
+
+    def add_bin(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        keys = [bin_key(t.split(" ")) for t in texts]
+        return pa.table(
+            {
+                text_col: batch[text_col],
+                "n_tokens": pa.array([k[0] for k in keys], pa.int32()),
+                "n_dyn": pa.array([k[1] for k in keys], pa.int32()),
+            }
+        )
+
+    def per_bin(g: pd.DataFrame) -> pd.DataFrame:
+        seqs = [t.split(" ") for t in g[text_col]]
+        mined = abstract_bin(seqs)
+        return pd.DataFrame(
+            {"template": [" ".join(t) for t, _ in mined], "n": [n for _, n in mined]}
+        )
+
+    binned = (
+        ds.select_columns([text_col])
+        .map_batches(add_bin, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["n_tokens", "n_dyn"])
+        .map_groups(per_bin, batch_format="pandas")
+        .to_pandas()
+    )
+    merged = reconcile(
+        [(t.split(" "), int(n)) for t, n in zip(binned["template"], binned["n"])],
+        merge_pct=merge_pct,
+    )
+    merged.sort(key=lambda tn: (-tn[1], " ".join(tn[0])))
+    return PatternBank(
+        [
+            Template.from_string(" ".join(t), prio)
+            for prio, (t, _) in enumerate(merged)
+        ]
+    )

@@ -35,6 +35,7 @@ class FragmentManifest:
     sink_counts_sha256: str
     wall_s: float
     status: str = "done"
+    sink_counts: dict = field(default_factory=dict)  # hive rel-path → rows
     extra: dict = field(default_factory=dict)
 
 
@@ -82,6 +83,33 @@ def dir_sink_counts(frag_dir: str) -> dict[str, int]:
     return counts
 
 
+def manifests_sink_table(manifests, partition_cols=("role", "tool", "template_id")):
+    """Aggregate per-sink counts across fragment manifests into an Arrow
+    table ``(*partition_cols, n_turns)`` — pure lineage metadata, no data
+    read. The hive rel-paths in ``sink_counts`` are decoded back to column
+    values."""
+    from collections import Counter
+    from urllib.parse import unquote
+
+    import pyarrow as pa
+
+    agg: Counter = Counter()
+    for m in manifests:
+        for rel, n in m.sink_counts.items():
+            vals = []
+            for part in rel.split(os.sep):
+                _, _, v = part.partition("=")
+                vals.append(unquote(v))
+            agg[tuple(vals)] += n
+    keys = sorted(agg)
+    cols = {
+        c: pa.array([k[i] for k in keys], pa.string())
+        for i, c in enumerate(partition_cols)
+    }
+    cols["n_turns"] = pa.array([agg[k] for k in keys], pa.int64())
+    return pa.table(cols)
+
+
 def counts_checksum(counts: dict[str, int]) -> str:
     payload = "\n".join(f"{k}\t{v}" for k, v in sorted(counts.items()))
     return hashlib.sha256(payload.encode()).hexdigest()
@@ -113,11 +141,13 @@ class RoutedRunner:
         return os.path.join(self.out_root, f"frag={frag_name}")
 
     def run_fragment(self, frag_name: str, input_files: list[str]) -> FragmentManifest:
+        import pyarrow.parquet as pq
         import ray
 
         t0 = time.perf_counter()
+        # rows_in from parquet footers — no data read
+        rows_in = sum(pq.ParquetFile(f).metadata.num_rows for f in input_files)
         ds = ray.data.read_parquet(input_files)
-        rows_in = ds.count()
         out = self.pipeline_fn(ds)
         if self.drop_cols:
             out = out.drop_columns(self.drop_cols)
@@ -137,21 +167,40 @@ class RoutedRunner:
             sinks=len(counts),
             sink_counts_sha256=counts_checksum(counts),
             wall_s=round(time.perf_counter() - t0, 3),
+            sink_counts=counts,
         )
         write_manifest(self.out_root, m)
         return m
 
     def run(
-        self, fragments: dict[str, list[str]], resume: bool = True
+        self,
+        fragments: dict[str, list[str]],
+        resume: bool = True,
+        max_concurrent: int = 4,
     ) -> tuple[list[FragmentManifest], int]:
-        """Process ``{frag_name: [input files]}``; returns (manifests, n_skipped)."""
-        manifests, skipped = [], 0
+        """Process ``{frag_name: [input files]}``; returns (manifests, n_skipped).
+
+        Fragments run as ``max_concurrent`` overlapping Ray Data pipelines
+        (each is an independent streaming execution; overlapping them hides
+        per-pipeline startup and lets the write of one fragment overlap the
+        read/match of the next — on a multi-node cluster each fragment's
+        tasks spread across the whole cluster regardless).
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        todo: list[str] = []
+        done: dict[str, FragmentManifest] = {}
         for name in sorted(fragments):
-            if resume:
-                prev = load_manifest(self.out_root, name)
-                if prev is not None and prev.status == "done":
-                    manifests.append(prev)
-                    skipped += 1
-                    continue
-            manifests.append(self.run_fragment(name, fragments[name]))
-        return manifests, skipped
+            prev = load_manifest(self.out_root, name) if resume else None
+            if prev is not None and prev.status == "done":
+                done[name] = prev
+            else:
+                todo.append(name)
+        if todo:
+            with ThreadPoolExecutor(max_workers=max(1, max_concurrent)) as pool:
+                for name, m in zip(
+                    todo,
+                    pool.map(lambda n: self.run_fragment(n, fragments[n]), todo),
+                ):
+                    done[name] = m
+        return [done[n] for n in sorted(fragments)], len(fragments) - len(todo)

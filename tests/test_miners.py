@@ -1,0 +1,138 @@
+"""Miner tests: core semantics + distributed fit + match-back accuracy."""
+
+import pyarrow as pa
+import pytest
+
+from logparser_ray import fixtures
+from logparser_ray.core.bank import WILDCARD, PatternBank
+from logparser_ray.core.drain import Drain
+from logparser_ray.core.evaluator import evaluate_pandas
+from logparser_ray.core.spell import Spell, lcs_seq, template_from_lcs
+from logparser_ray.stages import mine
+from logparser_ray.stages.parse import match_stage
+
+N = 2_000
+
+
+def _transcripts_ds(ray_session, n=N, seed=42):
+    import ray
+
+    tdir, _ = fixtures.ensure_transcripts(n, seed=seed)
+    return ray.data.read_parquet(tdir)
+
+
+def _accuracy_of_bank(ray_session, bank: PatternBank, n=N, seed=42) -> float:
+    """Match the fixture through a mined bank, compare grouping vs golden."""
+    import ray
+
+    _, golden = fixtures.make_transcripts(n_turns=n, seed=seed)
+    ds = _transcripts_ds(ray_session, n, seed)
+    matched = match_stage(ds, bank, with_params=False)
+    parsed = matched.select_columns(["conv_id", "turn_idx", "template_id"]).to_pandas()
+    truth = golden.select(["conv_id", "turn_idx", "template_id"]).to_pandas()
+    truth = truth.rename(columns={"template_id": "event_id"})
+    parsed = parsed.rename(columns={"template_id": "event_id"})
+    return evaluate_pandas(truth, parsed, key=["conv_id", "turn_idx"]).accuracy
+
+
+# -- core semantics ---------------------------------------------------------
+
+
+def test_drain_merges_and_orders():
+    d = Drain(depth=3, st=0.4)
+    d.fit_texts(
+        [
+            "Tool bash returned exit code 0 in 12 ms",
+            "Tool python returned exit code 1 in 48 ms",
+            "Session started",
+        ]
+    )
+    templates = sorted(t.template for t in d.bank())
+    assert "Session started" in templates
+    assert any(WILDCARD in t and t.startswith("Tool") for t in templates)
+
+
+def test_drain_digit_tokens_route_to_wildcard_child():
+    d = Drain(depth=4, st=0.4)
+    c1 = d.add_sequence("error code 404 found".split())
+    c2 = d.add_sequence("error code 500 found".split())
+    assert c1 is c2
+    assert c1.template == ["error", "code", WILDCARD, "found"]
+
+
+def test_spell_lcs_machinery():
+    assert lcs_seq(list("abcd"), list("axcd")) == ["a", "c", "d"]
+    assert template_from_lcs(["a", "c"], ["a", "b", "c"]) == ["a", WILDCARD, "c"]
+    s = Spell(tau=0.5)
+    s.fit_texts(["send 10 bytes to node1", "send 25 bytes to node2"])
+    assert [t.template for t in s.bank()] == [f"send {WILDCARD} bytes to {WILDCARD}"]
+
+
+# -- distributed fits -------------------------------------------------------
+
+
+# thresholds are measured behavior of the faithful algorithms on this corpus
+# (grouping accuracy punishes split AND merged groups whole; e.g. Drain's
+# leading-variable-token split and near-template merges are inherent — the
+# reference shows the same pattern across the loghub datasets)
+@pytest.mark.parametrize(
+    "miner,params,min_acc",
+    [
+        ("drain", {"depth": 3, "st": 0.4}, 0.65),
+        ("spell", {"tau": 0.5}, 0.7),
+        ("lenma", {"threshold": 0.9}, 0.35),
+    ],
+)
+def test_online_miner_scale_fit_accuracy(ray_session, miner, params, min_acc):
+    ds = _transcripts_ds(ray_session)
+    bank = mine.fit_bank(ds, miner, params=params, mode="scale")
+    assert 5 < len(bank) < 80
+    acc = _accuracy_of_bank(ray_session, bank)
+    assert acc > min_acc, f"{miner} grouping accuracy {acc}"
+    # the strong check: the mined template SET recovers most true templates
+    mined = {t.template for t in bank}
+    truth = {t.template for t in fixtures.pattern_bank()}
+    assert len(mined & truth) >= (7 if miner != "lenma" else 2)
+
+
+def test_drain_conformance_mode_deterministic(ray_session):
+    ds = _transcripts_ds(ray_session)
+    b1 = mine.fit_bank(ds, "drain", params={"depth": 3, "st": 0.4}, mode="conformance")
+    b2 = mine.fit_bank(ds, "drain", params={"depth": 3, "st": 0.4}, mode="conformance")
+    assert [t.template for t in b1] == [t.template for t in b2]
+    acc = _accuracy_of_bank(ray_session, b1)
+    assert acc > 0.65
+
+
+def test_scale_fit_run_invariant(ray_session):
+    """Same input at different block structure → same merged bank."""
+    import ray
+
+    tdir, _ = fixtures.ensure_transcripts(N, seed=42)
+    ds1 = ray.data.read_parquet(tdir)
+    ds2 = ray.data.read_parquet(tdir, override_num_blocks=7)
+    b1 = mine.fit_bank(ds1, "drain", params={"depth": 3, "st": 0.4})
+    b2 = mine.fit_bank(ds2, "drain", params={"depth": 3, "st": 0.4})
+    # the merge replays sorted partial banks, so block structure may change
+    # cluster order but not the template SET materially; require high overlap
+    s1 = {t.template for t in b1}
+    s2 = {t.template for t in b2}
+    assert len(s1 & s2) / max(len(s1 | s2), 1) > 0.7
+
+
+@pytest.mark.parametrize(
+    "fit,kwargs,min_acc",
+    [
+        (mine.slct_fit, {"support": 80}, 0.55),
+        (mine.logram_fit, {"threshold": 80}, 0.6),
+        (mine.lfa_fit, {}, 0.7),
+        (mine.iplom_fit, {}, 0.55),
+        (mine.ael_fit, {}, 0.3),
+    ],
+)
+def test_count_group_miners_fit(ray_session, fit, kwargs, min_acc):
+    ds = _transcripts_ds(ray_session)
+    bank = fit(ds, **kwargs)
+    assert len(bank) > 3
+    acc = _accuracy_of_bank(ray_session, bank)
+    assert acc >= min_acc, f"{fit.__name__} accuracy {acc} with {len(bank)} templates"
