@@ -104,6 +104,7 @@ def make_transcripts(
     n_convs: int | None = None,
     seed: int = 42,
     fallthrough_frac: float = 0.03,
+    conv_offset: int = 0,
 ) -> tuple[pa.Table, pa.Table]:
     """Generate the canonical transcripts table + its golden structured table.
 
@@ -135,7 +136,9 @@ def make_transcripts(
     turn_idx_sorted = np.arange(n_turns) - group_start
     turn_idx = turn_idx_sorted[inv].astype(np.int32)
 
-    conv_id = np.char.add("conv", np.char.zfill(conv_idx.astype("U6"), 6))
+    conv_id = np.char.add(
+        "conv", np.char.zfill((conv_idx + conv_offset).astype("U9"), 9)
+    )
 
     # --- roles: system at turn 0, else cycle user/assistant/tool w/ noise --
     cycle = np.array(["user", "assistant", "tool"], dtype=object)
@@ -345,6 +348,25 @@ def transcripts_cache_dir() -> str:
     return os.environ.get("RAYPARSE_CACHE", "/tmp/rayparse_cache")
 
 
+_CHUNK_TURNS = 2_400_000  # generation chunk: independent conv universe each
+
+
+def _gen_chunk(args) -> str:
+    """Generate one deterministic chunk of a large fixture (worker process)."""
+    i, n, seed, tdir, files_per_chunk = args
+    # disjoint conv universes per chunk via conv_offset; rng seeded per chunk
+    transcripts, _ = make_transcripts(
+        n_turns=n, seed=seed + 7_919 * i, conv_offset=i * 10_000_000
+    )
+    step = (transcripts.num_rows + files_per_chunk - 1) // files_per_chunk
+    for j in range(files_per_chunk):
+        part = transcripts.slice(j * step, step)
+        ensure_parquet(
+            part, os.path.join(tdir, f"part-{i * files_per_chunk + j:04d}.parquet")
+        )
+    return tdir
+
+
 def ensure_transcripts(
     n_turns: int, seed: int = 42, with_golden: bool = False
 ) -> tuple[str, str | None]:
@@ -352,7 +374,10 @@ def ensure_transcripts(
     deterministic Parquet paths under the cache dir; returns the path(s).
 
     Multiple Parquet files are written for n_turns > 250k so the read stage
-    starts with several fragments (parallel read + resumable routing units).
+    starts with several shards (parallel read + resumable routing units).
+    Fixtures above ``_CHUNK_TURNS`` are generated as independent seeded
+    chunks in parallel worker processes (disjoint conv-id universes), so
+    bench-scale inputs build in ~1 min instead of ~10.
     """
     root = transcripts_cache_dir()
     tdir = os.path.join(root, f"transcripts_n{n_turns}_s{seed}")
@@ -360,14 +385,24 @@ def ensure_transcripts(
     done = os.path.join(tdir, "_SUCCESS")
     if os.path.exists(done) and (not with_golden or os.path.exists(gpath)):
         return tdir, (gpath if with_golden else None)
-    transcripts, golden = make_transcripts(n_turns=n_turns, seed=seed)
     os.makedirs(tdir, exist_ok=True)
-    n_files = max(1, min(16, n_turns // 75_000))
-    step = (transcripts.num_rows + n_files - 1) // n_files
-    for i in range(n_files):
-        part = transcripts.slice(i * step, step)
-        ensure_parquet(part, os.path.join(tdir, f"part-{i:04d}.parquet"))
-    ensure_parquet(golden, gpath)
+    if n_turns > _CHUNK_TURNS and not with_golden:
+        from concurrent.futures import ProcessPoolExecutor
+
+        n_chunks = (n_turns + _CHUNK_TURNS - 1) // _CHUNK_TURNS
+        per = n_turns // n_chunks
+        files_per_chunk = max(1, min(32, per // 75_000))
+        jobs = [(i, per, seed, tdir, files_per_chunk) for i in range(n_chunks)]
+        with ProcessPoolExecutor(max_workers=min(8, n_chunks)) as pool:
+            list(pool.map(_gen_chunk, jobs))
+    else:
+        transcripts, golden = make_transcripts(n_turns=n_turns, seed=seed)
+        n_files = max(1, min(128, n_turns // 75_000))
+        step = (transcripts.num_rows + n_files - 1) // n_files
+        for i in range(n_files):
+            part = transcripts.slice(i * step, step)
+            ensure_parquet(part, os.path.join(tdir, f"part-{i:04d}.parquet"))
+        ensure_parquet(golden, gpath)
     with open(done, "w") as f:
         f.write("ok\n")
     return tdir, (gpath if with_golden else None)

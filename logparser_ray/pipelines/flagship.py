@@ -40,19 +40,34 @@ def run_flagship(
     bank=None,
     resume: bool = True,
     with_params: bool = True,
+    files_per_fragment: int = 16,
+    layout: str = "packed",
 ):
     """Run the full pipeline over a transcripts Parquet directory.
 
     Returns ``{"sink_counts": Dataset, "manifests": [...], "skipped": int}``.
     When ``out_dir`` is None the routed write is skipped (aggregate only).
+
+    A *fragment* (the checkpoint/resume unit) bundles ``files_per_fragment``
+    input shards; each shard is one fused read→parse→enrich→routed-write
+    Ray task (see ``state.RoutedRunner`` for the layout trade-offs).
     """
+    from logparser_ray.stages.parse import make_match_enrich_table_fn
+
     result: dict = {}
     if out_dir is not None:
         files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
-        runner = RoutedRunner(
-            out_dir, lambda ds: parse_enrich(ds, bank, with_params=with_params)
+        table_fn = make_match_enrich_table_fn(
+            bank or fixtures.pattern_bank(),
+            fixtures.roles_dim(),
+            fixtures.tools_dim(),
+            with_params=with_params,
         )
-        fragments = {os.path.splitext(os.path.basename(f))[0]: [f] for f in files}
+        runner = RoutedRunner(out_dir, table_fn, layout=layout)
+        fragments = {
+            f"f{i // files_per_fragment:05d}": files[i : i + files_per_fragment]
+            for i in range(0, len(files), files_per_fragment)
+        }
         manifests, skipped = runner.run(fragments, resume=resume)
         result["manifests"] = manifests
         result["skipped"] = skipped

@@ -46,6 +46,47 @@ class BankMatcher:
         )
 
 
+# per-worker-process cache keyed by broadcast ref: compiled once per worker,
+# shared across ALL shard tasks that land on it (module-global, so closures
+# reference it by module attribute instead of pickling a copy per task)
+_TRANSFORM_CACHE: dict[str, tuple] = {}
+
+
+def make_match_enrich_table_fn(
+    bank: PatternBank,
+    roles_dim: pa.Table,
+    tools_dim: pa.Table,
+    *,
+    with_params: bool = True,
+    text_col: str = "text",
+):
+    """A ``pa.Table → pa.Table`` parse+enrich transform for the fused routed
+    writer (``state.RoutedRunner``): bank + dims broadcast once via
+    ``ray.put``, compiled once per worker process."""
+    from logparser_ray.stages.enrich import DimEnricher
+
+    bank_ref = ray.put(bank.to_arrow())
+    roles_ref = ray.put(roles_dim)
+    tools_ref = ray.put(tools_dim)
+    key = bank_ref.hex()
+
+    def table_fn(tbl: pa.Table) -> pa.Table:
+        st = _TRANSFORM_CACHE.get(key)
+        if st is None:
+            cb = PatternBank.from_arrow(ray.get(bank_ref)).compile()
+            enr = DimEnricher(
+                [
+                    (ray.get(roles_ref), "role", ["role_class"]),
+                    (ray.get(tools_ref), "tool", ["tool_family", "is_sandboxed"]),
+                ]
+            )
+            _TRANSFORM_CACHE[key] = st = (cb, enr)
+        cb, enr = st
+        return enr(cb.match_table(tbl, text_col=text_col, with_params=with_params))
+
+    return table_fn
+
+
 def match_stage(
     ds,
     bank: PatternBank,

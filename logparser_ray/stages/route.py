@@ -1,24 +1,30 @@
-"""Routing / fan-out (SURVEY.md R1, S7): salted hash-partitioned shuffle.
+"""Routing / fan-out (SURVEY.md R1, S7).
 
-Rows fan out to per-``(role, tool, template_id)`` sinks. Two pieces:
+Rows fan out to per-``(role, tool, template_id)`` sinks. Pieces:
 
-- ``add_salt``: a vectorized salt column from the skewed key (hot conv_ids
+- ``add_salt`` / ``route_repartition``: the explicit salted hash-partition
+  shuffle for pipelines that need sink co-location *in flight* (hot conv_ids
   — BASELINE.json:6). Hash-partitioning by ``sink key + _salt`` splits a hot
-  sink across ``num_salts`` blocks so no single reducer/writer receives the
-  whole hot key; the salt is dropped before the hive-partitioned write, so
-  sink layout is unchanged.
-- ``route_repartition``: the explicit hash-partition shuffle
-  (``Dataset.repartition(num_blocks, keys=..., sort=...)``).
-
-The routed *write* itself is ``write_parquet(partition_cols=sink_key)``
-per input fragment, orchestrated with manifests by ``state.RoutedRunner``.
+  sink across ``num_salts`` blocks so no single reducer receives the whole
+  hot key.
+- ``pack_by_key`` / ``write_packed_shard`` / ``write_hive_shard``: the
+  shard-local routed writers used by ``state.RoutedRunner``'s fused path —
+  each Ray task groups its shard by sink key and writes it directly
+  (packed: one file, row groups aligned to sink boundaries; hive: one file
+  per sink present). Rows never re-enter the object store, so no
+  all-to-all exchange is needed for the write itself; per-sink reads use
+  the manifest's row-group index (packed) or the directory layout (hive).
 """
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 SINK_KEYS = ["role", "tool", "template_id"]
 SALT_COL = "_salt"
@@ -56,3 +62,103 @@ def route_repartition(
     if salted:
         ds = ds.drop_columns([SALT_COL])
     return ds
+
+
+# ---------------------------------------------------------------------------
+# shard-local routed writers (fused path)
+# ---------------------------------------------------------------------------
+
+
+def _quote(v) -> str:
+    from urllib.parse import quote
+
+    return quote("" if v is None else str(v), safe="")
+
+
+def pack_by_key(table: pa.Table, partition_cols: list[str]):
+    """Sort a table by its (dictionary-encoded) sink key.
+
+    Returns ``(sorted_table, rel_keys, starts, ends)`` where row range
+    ``[starts[i], ends[i])`` of ``sorted_table`` is sink ``rel_keys[i]``
+    (a hive-style relative path ``col=value/...``). One gather pass; no
+    per-row Python.
+    """
+    key_cols = [table[c] for c in partition_cols]
+    keys = (
+        key_cols[0].combine_chunks()
+        if len(key_cols) == 1
+        else pc.binary_join_element_wise(
+            *[pc.cast(c, pa.string()) for c in key_cols], "\x00"
+        ).combine_chunks()
+    )
+    enc = keys.dictionary_encode()
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    order = np.argsort(idx, kind="stable")
+    sorted_tbl = table.take(pa.array(order))
+    sorted_idx = idx[order]
+    bounds = np.flatnonzero(np.diff(sorted_idx)) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(idx)]])
+    rel_keys = []
+    for s in starts:
+        vals = enc.dictionary[sorted_idx[s]].as_py().split("\x00")
+        rel_keys.append(
+            "/".join(f"{c}={_quote(v)}" for c, v in zip(partition_cols, vals))
+        )
+    return sorted_tbl, rel_keys, starts, ends
+
+
+def write_packed_shard(
+    table: pa.Table,
+    frag_dir: str,
+    shard_name: str,
+    partition_cols: list[str],
+    drop_cols: list[str] = (),
+) -> list[tuple[str, int, int]]:
+    """Write one shard as ONE Parquet file with row groups aligned to sink
+    boundaries (atomic: tmp + rename, so retries are idempotent).
+
+    Returns ``[(rel_sink_key, row_group, n_rows), ...]`` — the manifest's
+    row-group index. File count is O(shards), independent of sink
+    cardinality — the property that keeps a 100 TB run with 10⁴⁺ sinks from
+    exploding into 10⁹ tiny files. Partition columns stay IN the file so a
+    packed file is self-describing.
+    """
+    sorted_tbl, rel_keys, starts, ends = pack_by_key(table, partition_cols)
+    if drop_cols:
+        sorted_tbl = sorted_tbl.drop_columns(list(drop_cols))
+    os.makedirs(frag_dir, exist_ok=True)
+    path = os.path.join(frag_dir, f"{shard_name}.parquet")
+    tmp = os.path.join(frag_dir, f".tmp-{shard_name}.parquet")
+    index: list[tuple[str, int, int]] = []
+    with pq.ParquetWriter(tmp, sorted_tbl.schema, write_statistics=False) as w:
+        for rg, (rel, s, e) in enumerate(zip(rel_keys, starts, ends)):
+            w.write_table(sorted_tbl.slice(s, e - s), row_group_size=max(1, e - s))
+            index.append((rel, rg, int(e - s)))
+    os.replace(tmp, path)
+    return index
+
+
+def write_hive_shard(
+    table: pa.Table,
+    frag_dir: str,
+    shard_name: str,
+    partition_cols: list[str],
+    drop_cols: list[str] = (),
+) -> list[tuple[str, int, int]]:
+    """Write one shard hive-style: ``col=value/.../<shard_name>.parquet`` per
+    sink present (deterministic names → idempotent on retry). Plain
+    directory-per-sink layout any engine can read; file count is
+    O(shards × sinks-present-per-shard)."""
+    sorted_tbl, rel_keys, starts, ends = pack_by_key(table, partition_cols)
+    payload = sorted_tbl.drop_columns(list(partition_cols) + list(drop_cols))
+    index: list[tuple[str, int, int]] = []
+    for rel, s, e in zip(rel_keys, starts, ends):
+        pdir = os.path.join(frag_dir, rel)
+        os.makedirs(pdir, exist_ok=True)
+        path = os.path.join(pdir, f"{shard_name}.parquet")
+        tmp = os.path.join(pdir, f".tmp-{shard_name}.parquet")
+        pq.write_table(payload.slice(s, e - s), tmp)
+        os.replace(tmp, path)
+        index.append((rel, 0, int(e - s)))
+    return index

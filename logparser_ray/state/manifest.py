@@ -25,6 +25,36 @@ import time
 from dataclasses import asdict, dataclass, field
 
 
+def _defuse_fsspec_http_race() -> None:
+    """Ray's path resolution probes fsspec's optional HTTP filesystem on every
+    datasource/datasink construction. With aiohttp absent that import raises
+    ModuleNotFoundError (which Ray catches) — but when two fragment threads
+    import it concurrently, one can observe the other's partially-initialized
+    module and die with a plain ImportError that Ray does NOT catch.
+    Pre-install a benign stub so the import is deterministic; the stub class
+    is never instantiated, so Ray's isinstance checks correctly return False.
+    """
+    try:
+        import fsspec.implementations.http  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+    import sys
+    import types
+
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # pragma: no cover - marker type only
+        pass
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
+
+
+_defuse_fsspec_http_race()
+
+
 @dataclass
 class FragmentManifest:
     fragment: str
@@ -67,7 +97,7 @@ def write_manifest(out_root: str, m: FragmentManifest) -> None:
 
 def dir_sink_counts(frag_dir: str) -> dict[str, int]:
     """Per-sink row counts from Parquet *metadata* of a hive-partitioned
-    fragment dir — no data read, driver-cheap even for huge fragments."""
+    fragment dir — no data read, cheap even for huge fragments."""
     import pyarrow.parquet as pq
 
     counts: dict[str, int] = {}
@@ -76,11 +106,22 @@ def dir_sink_counts(frag_dir: str) -> dict[str, int]:
         if not pfiles:
             continue
         rel = os.path.relpath(dirpath, frag_dir)
-        n = sum(
-            pq.ParquetFile(os.path.join(dirpath, f)).metadata.num_rows for f in pfiles
-        )
+        n = sum(pq.read_metadata(os.path.join(dirpath, f)).num_rows for f in pfiles)
         counts[rel] = counts.get(rel, 0) + n
     return counts
+
+
+def _sink_counts_remote(frag_dir: str) -> dict[str, int]:
+    """``dir_sink_counts`` as a Ray task — keeps the footer walk off the
+    driver (GIL) and lets counts for finished fragments overlap other
+    fragments' pipelines."""
+    import ray
+
+    fn = getattr(_sink_counts_remote, "_task", None)
+    if fn is None:
+        fn = ray.remote(num_cpus=0.5)(dir_sink_counts)
+        _sink_counts_remote._task = fn
+    return ray.get(fn.remote(frag_dir))
 
 
 def manifests_sink_table(manifests, partition_cols=("role", "tool", "template_id")):
@@ -110,6 +151,67 @@ def manifests_sink_table(manifests, partition_cols=("role", "tool", "template_id
     return pa.table(cols)
 
 
+def list_manifests(out_root: str) -> list[FragmentManifest]:
+    mdir = _manifest_dir(out_root)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for f in sorted(os.listdir(mdir)):
+        if f.endswith(".json"):
+            out.append(load_manifest(out_root, f[: -len(".json")]))
+    return [m for m in out if m is not None]
+
+
+def read_sink(
+    out_root: str,
+    sink: dict[str, str],
+    partition_cols: tuple[str, ...] = ("role", "tool", "template_id"),
+):
+    """Read ONE routed sink back as a ``ray.data.Dataset`` using the lineage
+    manifests — for the packed layout this touches only the sink's own row
+    groups (no other sink's bytes are read); for hive it reads the sink's
+    directory. ``sink`` maps partition col → value, e.g.
+    ``{"role": "tool", "tool": "bash", "template_id": "ab12cd34"}``.
+    """
+    from urllib.parse import quote
+
+    import ray
+
+    rel = "/".join(f"{c}={quote(str(sink[c]), safe='')}" for c in partition_cols)
+    items = []
+    hive_dirs = []
+    for m in list_manifests(out_root):
+        frag_dir = os.path.join(out_root, f"frag={m.fragment}")
+        layout = m.extra.get("layout", "hive")
+        if layout == "packed":
+            for fname, rg, _n in m.extra.get("sink_index", {}).get(rel, []):
+                items.append({"path": os.path.join(frag_dir, fname), "row_group": rg})
+        elif rel in m.sink_counts:
+            hive_dirs.append(os.path.join(frag_dir, rel))
+    if hive_dirs:
+        return ray.data.read_parquet(hive_dirs)
+
+    def read_groups(batch):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tables = []
+        by_path: dict[str, list[int]] = {}
+        for path, rg in zip(batch["path"].to_pylist(), batch["row_group"].to_pylist()):
+            by_path.setdefault(path, []).append(rg)
+        for path, rgs in by_path.items():
+            tables.append(pq.ParquetFile(path).read_row_groups(sorted(rgs)))
+        return pa.concat_tables(tables) if tables else pa.table({})
+
+    if not items:
+        raise KeyError(f"sink {rel!r} not found in manifests under {out_root}")
+    ds = ray.data.from_items(items)
+    n_blocks = max(1, min(len(items), 64))
+    return ds.repartition(num_blocks=n_blocks).map_batches(
+        read_groups, batch_format="pyarrow", batch_size=None
+    )
+
+
 def counts_checksum(counts: dict[str, int]) -> str:
     payload = "\n".join(f"{k}\t{v}" for k, v in sorted(counts.items()))
     return hashlib.sha256(payload.encode()).hexdigest()
@@ -118,89 +220,210 @@ def counts_checksum(counts: dict[str, int]) -> str:
 class RoutedRunner:
     """Checkpointed fragment-by-fragment routed-write runner (SURVEY.md R1+S7).
 
-    ``pipeline_fn(ds) -> ds`` is the parse→enrich transform chain; output is
-    written per fragment, hive-partitioned by ``partition_cols`` (the sink
-    key). ``run`` returns the manifests of all fragments (completed ones are
+    **Fused-shard architecture** (chosen by measurement — see BASELINE.md):
+    each input shard (one Parquet file) is handled by ONE Ray task that
+    reads the shard, applies ``table_fn`` (parse→enrich, a
+    ``pa.Table → pa.Table`` transform), groups rows by the sink key and
+    writes the shard's routed output directly, returning only the tiny
+    per-sink count/index table. Rows never re-enter the object store and
+    there is no all-to-all barrier; this removed the busy-CPU inflation
+    that capped N→4N scaling at ~0.6 and is ~2.4× faster end-to-end than a
+    Dataset-level repartition + hive ``write_parquet``.
+
+    Layouts (see ``stages.route``):
+
+    - ``layout="packed"`` (default, the 100 TB path): one file per shard
+      with row groups aligned to sink boundaries; the fragment manifest
+      carries a sink → (file, row_group) index and ``read_sink`` uses it to
+      reconstruct any sink without touching other sinks' bytes. File count
+      is O(shards), independent of sink cardinality.
+    - ``layout="hive"``: classic ``role=…/tool=…/template_id=…/`` dirs,
+      one file per (shard, sink) — plain layout any engine reads directly.
+
+    ``run`` returns the manifests of all fragments (completed ones are
     skipped when ``resume=True`` — the checkpointed-resume contract).
+    Writes are atomic (tmp + rename) with deterministic names, so retried
+    shard tasks and re-run fragments overwrite idempotently (SURVEY.md
+    §7.4 #4: exact count equality under retries).
     """
 
     def __init__(
         self,
         out_root: str,
-        pipeline_fn,
+        table_fn,
         partition_cols: tuple[str, ...] = ("role", "tool", "template_id"),
         drop_cols: tuple[str, ...] = (),
+        layout: str = "packed",
+        shards_per_task: int = 8,
     ):
         self.out_root = out_root
-        self.pipeline_fn = pipeline_fn
+        self.table_fn = table_fn
         self.partition_cols = list(partition_cols)
         self.drop_cols = list(drop_cols)
+        if layout not in ("packed", "hive"):
+            raise ValueError(f"unknown layout {layout!r}")
+        self.layout = layout
+        self.shards_per_task = shards_per_task
         os.makedirs(out_root, exist_ok=True)
 
     def frag_dir(self, frag_name: str) -> str:
         return os.path.join(self.out_root, f"frag={frag_name}")
 
-    def run_fragment(self, frag_name: str, input_files: list[str]) -> FragmentManifest:
+    def _make_shard_fn(self):
+        """Build the fused per-shard task fn (read → transform → routed
+        write → counts). Each item carries its fragment dir, so ONE
+        streaming pipeline serves every fragment; module-level caches inside
+        ``table_fn`` survive across tasks on the same worker."""
+        import pyarrow as pa
         import pyarrow.parquet as pq
-        import ray
 
-        t0 = time.perf_counter()
-        # rows_in from parquet footers — no data read
-        rows_in = sum(pq.ParquetFile(f).metadata.num_rows for f in input_files)
-        ds = ray.data.read_parquet(input_files)
-        out = self.pipeline_fn(ds)
-        if self.drop_cols:
-            out = out.drop_columns(self.drop_cols)
-        final_dir = self.frag_dir(frag_name)
-        tmp_dir = os.path.join(self.out_root, f".tmp-{frag_name}")
-        for d in (tmp_dir, final_dir):
-            if os.path.exists(d):
-                shutil.rmtree(d)
-        out.write_parquet(tmp_dir, partition_cols=self.partition_cols)
-        os.replace(tmp_dir, final_dir)
-        counts = dir_sink_counts(final_dir)
-        m = FragmentManifest(
-            fragment=frag_name,
-            input_files=list(input_files),
-            rows_in=rows_in,
-            rows_written=sum(counts.values()),
-            sinks=len(counts),
-            sink_counts_sha256=counts_checksum(counts),
-            wall_s=round(time.perf_counter() - t0, 3),
-            sink_counts=counts,
-        )
-        write_manifest(self.out_root, m)
-        return m
+        from logparser_ray.stages.route import write_hive_shard, write_packed_shard
+
+        table_fn = self.table_fn
+        partition_cols = self.partition_cols
+        drop_cols = self.drop_cols
+        writer = write_packed_shard if self.layout == "packed" else write_hive_shard
+
+        def shard_fn(batch: pa.Table) -> pa.Table:
+            rows = []
+            for path, sidx, frag, frag_dir in zip(
+                batch["path"].to_pylist(),
+                batch["shard"].to_pylist(),
+                batch["frag"].to_pylist(),
+                batch["frag_dir"].to_pylist(),
+            ):
+                shard_name = f"pack-s{sidx:05d}"
+                tbl = pq.read_table(path)
+                out = table_fn(tbl)
+                index = writer(out, frag_dir, shard_name, partition_cols, drop_cols)
+                fname = (
+                    f"{shard_name}.parquet" if writer is write_packed_shard else ""
+                )
+                rows.extend(
+                    (frag, rel, fname, rg, n, sidx, len(tbl)) for rel, rg, n in index
+                )
+            return pa.table(
+                {
+                    "frag": pa.array([r[0] for r in rows], pa.string()),
+                    "rel": pa.array([r[1] for r in rows], pa.string()),
+                    "file": pa.array([r[2] for r in rows], pa.string()),
+                    "row_group": pa.array([r[3] for r in rows], pa.int32()),
+                    "n": pa.array([r[4] for r in rows], pa.int64()),
+                    "shard": pa.array([r[5] for r in rows], pa.int32()),
+                    "rows_in": pa.array([r[6] for r in rows], pa.int64()),
+                }
+            )
+
+        return shard_fn
+
+    def run_fragment(self, frag_name: str, input_files: list[str]) -> FragmentManifest:
+        """Convenience: run a single fragment (fresh, no resume)."""
+        manifests, _ = self.run({frag_name: input_files}, resume=False)
+        return manifests[0]
 
     def run(
         self,
         fragments: dict[str, list[str]],
         resume: bool = True,
-        max_concurrent: int = 4,
     ) -> tuple[list[FragmentManifest], int]:
         """Process ``{frag_name: [input files]}``; returns (manifests, n_skipped).
 
-        Fragments run as ``max_concurrent`` overlapping Ray Data pipelines
-        (each is an independent streaming execution; overlapping them hides
-        per-pipeline startup and lets the write of one fragment overlap the
-        read/match of the next — on a multi-node cluster each fragment's
-        tasks spread across the whole cluster regardless).
+        All pending fragments' shards run in ONE streaming Ray Data pipeline
+        (maximum overlap; the streaming executor handles backpressure). Each
+        fragment's manifest is committed AS SOON AS its last shard reports —
+        a mid-run crash keeps every completed fragment's checkpoint, and
+        ``resume=True`` skips exactly those fragments on the next run.
         """
-        from concurrent.futures import ThreadPoolExecutor
+        import pyarrow as pa
+        import ray
 
-        todo: list[str] = []
+        t0 = time.perf_counter()
         done: dict[str, FragmentManifest] = {}
+        todo: list[str] = []
         for name in sorted(fragments):
             prev = load_manifest(self.out_root, name) if resume else None
             if prev is not None and prev.status == "done":
                 done[name] = prev
             else:
                 todo.append(name)
-        if todo:
-            with ThreadPoolExecutor(max_workers=max(1, max_concurrent)) as pool:
-                for name, m in zip(
-                    todo,
-                    pool.map(lambda n: self.run_fragment(n, fragments[n]), todo),
-                ):
-                    done[name] = m
-        return [done[n] for n in sorted(fragments)], len(fragments) - len(todo)
+        n_skipped = len(fragments) - len(todo)
+        if not todo:
+            return [done[n] for n in sorted(fragments)], n_skipped
+
+        items = []
+        expected: dict[str, int] = {}
+        for name in todo:
+            frag_dir = self.frag_dir(name)
+            if os.path.exists(frag_dir):
+                shutil.rmtree(frag_dir)  # fresh run of this fragment
+            os.makedirs(frag_dir)
+            files = sorted(fragments[name])
+            expected[name] = len(files)
+            items.extend(
+                {"path": p, "shard": i, "frag": name, "frag_dir": frag_dir}
+                for i, p in enumerate(files)
+            )
+
+        # bundle a few shards per task: task dispatch costs ~10-20ms of
+        # driver time, so single-shard tasks cap in-flight parallelism on
+        # large clusters; 3-4 shards/task keeps dispatch off the critical
+        # path while staying small enough for the streaming tail
+        n_tasks = max(1, (len(items) + self.shards_per_task - 1) // self.shards_per_task)
+        counts_ds = ray.data.from_items(
+            items, override_num_blocks=n_tasks
+        ).map_batches(
+            self._make_shard_fn(),
+            batch_format="pyarrow",
+            batch_size=None,
+            zero_copy_batch=True,
+        )
+
+        # streaming consume: commit each fragment's manifest the moment its
+        # last shard lands
+        acc: dict[str, list] = {n: [] for n in todo}
+        seen_shards: dict[str, set] = {n: set() for n in todo}
+        for batch in counts_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+            frags_touched = set()
+            for row in zip(
+                batch["frag"].to_pylist(),
+                batch["rel"].to_pylist(),
+                batch["file"].to_pylist(),
+                batch["row_group"].to_pylist(),
+                batch["n"].to_pylist(),
+                batch["shard"].to_pylist(),
+                batch["rows_in"].to_pylist(),
+            ):
+                acc[row[0]].append(row[1:])
+                seen_shards[row[0]].add(row[5])
+                frags_touched.add(row[0])
+            for name in frags_touched:
+                if len(seen_shards[name]) == expected[name] and name not in done:
+                    done[name] = self._commit_fragment(
+                        name, fragments[name], acc.pop(name), t0
+                    )
+        return [done[n] for n in sorted(fragments)], n_skipped
+
+    def _commit_fragment(
+        self, frag_name: str, input_files: list[str], entries: list, t0: float
+    ) -> FragmentManifest:
+        counts: dict[str, int] = {}
+        sink_index: dict[str, list] = {}
+        shard_rows: dict[int, int] = {}
+        for rel, fname, rg, n, sidx, rows_in in entries:
+            counts[rel] = counts.get(rel, 0) + n
+            if fname:
+                sink_index.setdefault(rel, []).append([fname, rg, n])
+            shard_rows[sidx] = rows_in
+        m = FragmentManifest(
+            fragment=frag_name,
+            input_files=sorted(input_files),
+            rows_in=sum(shard_rows.values()),
+            rows_written=sum(counts.values()),
+            sinks=len(counts),
+            sink_counts_sha256=counts_checksum(counts),
+            wall_s=round(time.perf_counter() - t0, 3),
+            sink_counts=counts,
+            extra={"layout": self.layout, "sink_index": sink_index},
+        )
+        write_manifest(self.out_root, m)
+        return m
