@@ -464,6 +464,36 @@ def _fit_ael(ds):
     return ael_fit(ds)
 
 
+def _fit_shiso(ds):
+    from logparser_ray.stages.mine import fit_bank
+
+    return fit_bank(ds, "shiso", params={"max_children": 8, "merge_threshold": 0.15})
+
+
+def _fit_logmine(ds):
+    from logparser_ray.stages.mine import fit_bank
+
+    return fit_bank(ds, "logmine", params={"max_dist": 0.3})
+
+
+def _fit_logcluster(ds):
+    from logparser_ray.stages.mine import logcluster_fit
+
+    return logcluster_fit(ds, support=max(10, int(0.04 * ds.count())))
+
+
+def _fit_logsig(ds):
+    from logparser_ray.stages.mine import logsig_fit
+
+    return logsig_fit(ds, k=16)
+
+
+def _fit_lke(ds):
+    from logparser_ray.stages.mine import lke_fit
+
+    return lke_fit(ds, threshold=0.3)
+
+
 def q_evaluator_fixture(sf_dir: str):
     truth, parsed, _ = fixtures.make_evaluator_fixture()
     res = evaluate_pandas(
@@ -513,6 +543,11 @@ QUERIES = {
     "lfa_templates": _miner_query(_fit_lfa),
     "iplom_templates": _miner_query(_fit_iplom),
     "ael_templates": _miner_query(_fit_ael),
+    "shiso_templates": _miner_query(_fit_shiso),
+    "logmine_templates": _miner_query(_fit_logmine),
+    "logcluster_templates": _miner_query(_fit_logcluster),
+    "logsig_templates": _miner_query(_fit_logsig),
+    "lke_templates": _miner_query(_fit_lke),
 }
 
 _STOPLIST_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)

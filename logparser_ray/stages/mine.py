@@ -36,9 +36,17 @@ from logparser_ray.core.bank import WILDCARD, PatternBank, Template
 from logparser_ray.core.drain import Drain
 from logparser_ray.core.iplom import mine_group
 from logparser_ray.core.lenma import LenMa
+from logparser_ray.core.logmine import LogMine
+from logparser_ray.core.shiso import Shiso
 from logparser_ray.core.spell import Spell
 
-MINERS = {"drain": Drain, "spell": Spell, "lenma": LenMa}
+MINERS = {
+    "drain": Drain,
+    "spell": Spell,
+    "lenma": LenMa,
+    "shiso": Shiso,
+    "logmine": LogMine,
+}
 
 
 def _new_miner(miner: str, params: dict | None):
@@ -365,3 +373,127 @@ def ael_fit(ds, *, text_col: str = "text", merge_pct: float = 0.1) -> PatternBan
             for prio, (t, _) in enumerate(merged)
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# LogCluster — position-independent frequent-word mining (SURVEY.md A8)
+# ---------------------------------------------------------------------------
+
+
+def logcluster_fit(ds, *, text_col: str = "text", support: int = 10) -> PatternBank:
+    """Frequent-WORD mining (Vaarandi & Pihelgas, CNSM 2015; upstream runs
+    the Perl ``logcluster.pl`` via subprocess — † ``logparser/LogCluster/``).
+
+    A word is frequent iff its total occurrence count ≥ ``support``
+    (position-independent, unlike SLCT's (position, word) keys); each line
+    keeps its frequent words and wildcards the rest; line patterns with
+    support ≥ ``support`` become templates. Upstream emits variable-length
+    ``*{m,n}`` gaps; our bank is token-count-anchored so runs of wildcards
+    stay positional (documented deviation)."""
+
+    def count_words(batch: pa.Table) -> pa.Table:
+        flat = _token_lists(batch, text_col).flatten()
+        t = pa.table({"tok": flat})
+        return t.group_by(["tok"]).aggregate([([], "count_all")]).rename_columns(
+            ["tok", "n"]
+        )
+
+    counts = (
+        ds.select_columns([text_col])
+        .map_batches(count_words, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    freq = ray.put(set(counts.filter(expr=f"n >= {support}").to_pandas()["tok"]))
+
+    def templatize(batch: pa.Table) -> pa.Table:
+        fset = ray.get(freq)
+        toks = _token_lists(batch, text_col)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        keep = np.array([t in fset for t in flat], dtype=bool)
+        out_flat = np.where(keep, flat, WILDCARD)
+        lists = pa.ListArray.from_arrays(toks.offsets, pa.array(out_flat, pa.string()))
+        t = pa.table({"template": pc.binary_join(lists, " ")})
+        return t.group_by(["template"]).aggregate([([], "count_all")]).rename_columns(
+            ["template", "n"]
+        )
+
+    tcounts = (
+        ds.select_columns([text_col])
+        .map_batches(templatize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("template")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    tcounts = tcounts[tcounts["n"] >= support].sort_values(
+        ["n", "template"], ascending=[False, True]
+    )
+    return PatternBank(
+        [Template.from_string(t, prio) for prio, t in enumerate(tcounts["template"])]
+    )
+
+
+# ---------------------------------------------------------------------------
+# LogSig / LKE — sample-based fits (SURVEY.md A6, A7)
+# ---------------------------------------------------------------------------
+
+
+def _sample_texts(ds, text_col: str, n_sample: int, seed: int) -> list[str]:
+    """Deterministic sample for the O(n·k)/O(n²) miners: hash-order the rows
+    and take the first ``n_sample`` (stable across block structure, unlike
+    ``random_sample`` whose draw depends on partitioning)."""
+
+    def key_batch(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        texts = batch[text_col].combine_chunks()
+        h = pd.util.hash_array(
+            texts.to_numpy(zero_copy_only=False), hash_key=f"{seed:016d}"
+        )
+        return pa.table({text_col: texts, "_h": pa.array(h)})
+
+    sampled = (
+        ds.select_columns([text_col])
+        .map_batches(key_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("_h")
+        .limit(n_sample)
+        .to_pandas()
+    )
+    return list(sampled[text_col])
+
+
+def logsig_fit(
+    ds,
+    *,
+    text_col: str = "text",
+    k: int = 16,
+    max_iters: int = 10,
+    n_sample: int = 5_000,
+    seed: int = 42,
+) -> PatternBank:
+    """LogSig word-pair clustering on a deterministic sample (the iterative
+    reassignment is inherently global — SURVEY.md A6 'low priority,
+    iterative'); the full corpus is then matched through the compiled bank."""
+    from logparser_ray.core.logsig import logsig_fit_seqs
+
+    texts = _sample_texts(ds, text_col, n_sample, seed)
+    seqs = [t.split() for t in texts if t]
+    return logsig_fit_seqs(seqs, k=k, max_iters=max_iters)
+
+
+def lke_fit(
+    ds,
+    *,
+    text_col: str = "text",
+    threshold: float = 0.3,
+    n_sample: int = 1_000,
+    seed: int = 42,
+) -> PatternBank:
+    """LKE weighted-edit-distance clustering on a deterministic sample
+    (upstream is O(n²) and fails beyond tens of MBs — SURVEY.md §6;
+    sample-fit + vectorized match is the scale path, SURVEY.md A7)."""
+    from logparser_ray.core.lke import lke_fit_seqs
+
+    texts = _sample_texts(ds, text_col, n_sample, seed)
+    seqs = [t.split() for t in texts if t]
+    return lke_fit_seqs(seqs, threshold=threshold)

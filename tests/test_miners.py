@@ -128,6 +128,9 @@ def test_scale_fit_run_invariant(ray_session):
         (mine.lfa_fit, {}, 0.7),
         (mine.iplom_fit, {}, 0.55),
         (mine.ael_fit, {}, 0.3),
+        (mine.logcluster_fit, {"support": 80}, 0.55),
+        (mine.logsig_fit, {"k": 16}, 0.3),
+        (mine.lke_fit, {"threshold": 0.3, "n_sample": 400}, 0.3),
     ],
 )
 def test_count_group_miners_fit(ray_session, fit, kwargs, min_acc):
@@ -136,3 +139,73 @@ def test_count_group_miners_fit(ray_session, fit, kwargs, min_acc):
     assert len(bank) > 3
     acc = _accuracy_of_bank(ray_session, bank)
     assert acc >= min_acc, f"{fit.__name__} accuracy {acc} with {len(bank)} templates"
+
+
+# -- SHISO / LogMine core semantics -----------------------------------------
+
+
+def test_shiso_merges_same_shape():
+    from logparser_ray.core.shiso import Shiso
+
+    s = Shiso(max_children=6, merge_threshold=0.2)
+    s.fit_texts(
+        [
+            "Tool bash returned exit code 0 in 12 ms",
+            "Tool edit returned exit code 1 in 48 ms",
+            "Session started",
+        ]
+    )
+    templates = sorted(t.template for t in s.bank())
+    assert "Session started" in templates
+    assert any(t.startswith("Tool") and WILDCARD in t for t in templates)
+
+
+def test_logmine_distance_threshold():
+    from logparser_ray.core.logmine import LogMine
+
+    m = LogMine(max_dist=0.3)
+    c1 = m.add_sequence("error code 404 found here".split())
+    c2 = m.add_sequence("error code 500 found here".split())
+    c3 = m.add_sequence("totally different message shape x".split())
+    assert c1 is c2
+    assert c3 is not c1
+    assert c1.pattern == ["error", "code", WILDCARD, "found", "here"]
+
+
+def test_logsig_deterministic_and_groups():
+    from logparser_ray.core.logsig import logsig_fit_seqs
+
+    seqs = [
+        f"send {n} bytes to node{n}".split() for n in (1, 2, 3, 4)
+    ] + [f"recv ack from node{n}".split() for n in (1, 2)]
+    b1 = logsig_fit_seqs(seqs, k=4)
+    b2 = logsig_fit_seqs(seqs, k=4)
+    assert [t.template for t in b1] == [t.template for t in b2]
+    assert any(t.template.startswith("send") for t in b1)
+
+
+def test_lke_weighted_distance_and_cluster():
+    from logparser_ray.core.lke import lke_cluster, weighted_edit_distance
+
+    a = "open file /a/b failed".split()
+    b = "open file /c/d failed".split()
+    c = "shutdown now".split()
+    assert weighted_edit_distance(a, a) == 0.0
+    assert weighted_edit_distance(a, b) < weighted_edit_distance(a, c)
+    labels = lke_cluster([a, b, c], threshold=0.3)
+    assert labels[0] == labels[1] != labels[2]
+
+
+@pytest.mark.parametrize("miner,params", [
+    ("shiso", {"max_children": 8, "merge_threshold": 0.15}),
+    ("logmine", {"max_dist": 0.3}),
+])
+def test_shiso_logmine_scale_fit(ray_session, miner, params):
+    ds = _transcripts_ds(ray_session)
+    bank = mine.fit_bank(ds, miner, params=params, mode="scale")
+    assert 5 < len(bank) < 120
+    acc = _accuracy_of_bank(ray_session, bank)
+    assert acc > 0.3, f"{miner} grouping accuracy {acc}"
+    mined = {t.template for t in bank}
+    truth = {t.template for t in fixtures.pattern_bank()}
+    assert len(mined & truth) >= 4
