@@ -398,6 +398,31 @@ def q_embeddings_lsh_knn(sf_dir: str):
     return lsh_bucketed_topk(ds, np.asarray(q, dtype=np.float64), k=5)
 
 
+def q_embeddings_near_dupes(sf_dir: str):
+    """Exact embedding-cosine near-dup pairs (cos ≥ 0.4), SQL-oracled."""
+    from logparser_ray.stages.similarity import embedding_near_dupes
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_near_dupes(ds, threshold=0.4, mode="exact")
+
+
+def q_embeddings_near_dupes_lsh(sf_dir: str):
+    """LSH-bucketed near-dup pairs — the 100 TB path (recall<1 → rows-only)."""
+    from logparser_ray.stages.similarity import embedding_near_dupes
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_near_dupes(ds, threshold=0.35, mode="lsh", n_planes=3)
+
+
+def q_docs_fingerprints(sf_dir: str):
+    """Rolling-hash document fingerprints → duplicate-sequence clusters."""
+    from logparser_ray.stages.textstats import fingerprint_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    fp = ds.map_batches(fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_count(fp, ["fingerprint"], alias="n_docs")
+
+
 def q_media_features(sf_dir: str):
     ds = ray.data.from_arrow(make_media_table(n=64))
     return featurize_media(ds)
@@ -523,6 +548,7 @@ QUERIES = {
     "lineitem_pricing": q_lineitem_pricing,
     "nation_region_join": q_nation_region_join,
     "embeddings_knn": q_embeddings_knn,
+    "embeddings_near_dupes": q_embeddings_near_dupes,
     # rows-only (non-SQL-expressible)
     "transcripts_sink_counts": q_transcripts_sink_counts,
     "transcripts_templates": q_transcripts_templates,
@@ -532,6 +558,8 @@ QUERIES = {
     "docs_simhash_clusters": q_docs_simhash_clusters,
     "docs_langid": q_docs_langid,
     "embeddings_lsh_knn": q_embeddings_lsh_knn,
+    "embeddings_near_dupes_lsh": q_embeddings_near_dupes_lsh,
+    "docs_fingerprints": q_docs_fingerprints,
     "media_features": q_media_features,
     "evaluator_fixture": q_evaluator_fixture,
     # miner fits (rows-only: order-dependent/iterative, not SQL-expressible)
@@ -631,5 +659,13 @@ ORACLE = {
         "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
         ") * 10000 + 0.5) AS BIGINT) AS cos_bp "
         "FROM embeddings e ORDER BY cos_bp DESC, e.vec_id ASC LIMIT 5"
+    ),
+    "embeddings_near_dupes": (
+        "SELECT a.vec_id AS a, b.vec_id AS b, "
+        "CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])) * 10000 + 0.5) AS BIGINT) AS cos_bp "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])) >= 0.4"
     ),
 }

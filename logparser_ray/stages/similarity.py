@@ -118,3 +118,101 @@ def lsh_bucketed_topk(ds, query: np.ndarray, k: int = 5, n_planes: int = 6, dim:
         bucketize, batch_format="pyarrow", zero_copy_batch=True
     )
     return brute_force_topk(pruned, query, k=k)
+
+
+def embedding_near_dupes(
+    ds,
+    *,
+    threshold: float = 0.4,
+    mode: str = "exact",
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+):
+    """All vector pairs with cosine ≥ ``threshold`` (embedding-cosine
+    near-dup detection, build-brief extras).
+
+    - ``mode="exact"``: the full normalized matrix is broadcast once
+      (``ray.put``) and every batch does one matmul against it, emitting
+      only its above-threshold pairs with ``a < b`` — distributed compute,
+      O(N·d) broadcast. Exact, so DuckDB-oracle-checkable.
+    - ``mode="lsh"``: the 100 TB path — random-hyperplane bucketing, then
+      pairwise cosine only WITHIN each bucket (`groupby(bucket).map_groups`);
+      recall < 1 by construction (pairs split across buckets are missed),
+      so it is a rows-only check.
+
+    Returns a pandas DataFrame ``(a, b, cos_bp)`` with cosine in integer
+    basis points, sorted by (a, b).
+    """
+    import pandas as pd
+
+    cols = ds.select_columns([id_col, "embedding"])
+
+    def emb_of(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        emb = np.asarray(
+            batch["embedding"].combine_chunks().to_numpy(zero_copy_only=False).tolist(),
+            dtype=np.float64,
+        )
+        return ids, _normalize(emb)
+
+    if mode == "exact":
+        full = cols.to_pandas()
+        all_ids = full[id_col].to_numpy()
+        all_emb = _normalize(
+            np.asarray(full["embedding"].tolist(), dtype=np.float64)
+        )
+        ref_ids, ref_emb = ray.put(all_ids), ray.put(all_emb)
+
+        def pairs_fn(batch: pa.Table) -> pa.Table:
+            ids, emb = emb_of(batch)
+            oids, oemb = ray.get(ref_ids), ray.get(ref_emb)
+            sims = emb @ oemb.T
+            bi, oj = np.nonzero(sims >= threshold)
+            a, b = ids[bi], oids[oj]
+            keep = a < b
+            cos_bp = np.floor(sims[bi, oj][keep] * 10_000 + 0.5).astype(np.int64)
+            return pa.table(
+                {
+                    "a": pa.array(a[keep].astype(np.int64)),
+                    "b": pa.array(b[keep].astype(np.int64)),
+                    "cos_bp": pa.array(cos_bp),
+                }
+            )
+
+        out = cols.map_batches(
+            pairs_fn, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+    elif mode == "lsh":
+        dim = len(ds.take(1)[0]["embedding"])
+        lsh = HyperplaneLSH(dim, n_planes)
+
+        def bucketize(batch: pa.Table) -> pa.Table:
+            _ids, emb = emb_of(batch)
+            return batch.append_column("bucket", pa.array(lsh.bucket(emb)))
+
+        def per_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+            ids = g[id_col].to_numpy()
+            emb = _normalize(np.asarray(g["embedding"].tolist(), dtype=np.float64))
+            sims = emb @ emb.T
+            i, j = np.nonzero(np.triu(sims >= threshold, k=1))
+            a, b = ids[i], ids[j]
+            swap = a > b
+            a[swap], b[swap] = b[swap], a[swap]
+            return pd.DataFrame(
+                {
+                    "a": a.astype(np.int64),
+                    "b": b.astype(np.int64),
+                    "cos_bp": np.floor(sims[i, j] * 10_000 + 0.5).astype(np.int64),
+                }
+            )
+
+        out = (
+            cols.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(per_bucket, batch_format="pandas")
+            .to_pandas()
+            .drop_duplicates(["a", "b"])
+        )
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    return out.sort_values(["a", "b"]).reset_index(drop=True)

@@ -144,3 +144,22 @@ def test_evaluator_distributed_matches_pandas(ray_session):
     )
     assert res_ds.accuracy == pytest.approx(res_pd.accuracy)
     assert res_ds.f1 == pytest.approx(res_pd.f1)
+
+
+def test_embedding_near_dupes_exact_vs_lsh_subset(ray_session):
+    """LSH-bucketed pairs must be a subset of exact pairs (same threshold),
+    with identical cos_bp for shared pairs."""
+    import ray
+
+    from logparser_ray.stages.similarity import embedding_near_dupes
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    exact = embedding_near_dupes(ds, threshold=0.35, mode="exact")
+    lsh = embedding_near_dupes(ds, threshold=0.35, mode="lsh", n_planes=3)
+    ek = {(a, b): c for a, b, c in exact.itertuples(index=False)}
+    for a, b, c in lsh.itertuples(index=False):
+        assert (a, b) in ek and ek[(a, b)] == c
+    # symmetric dedup: every pair once, a < b
+    assert (exact["a"] < exact["b"]).all()

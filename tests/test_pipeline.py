@@ -97,3 +97,45 @@ def test_resume_after_partial_failure(ray_session, tmp_path):
     res2 = flagship.run_flagship(tdir, out_dir=out, resume=True)
     assert res2["skipped"] == len(res2["manifests"]) - 1
     assert load_manifest(out, frag).sink_counts_sha256 == sha_before
+
+
+def test_read_sink_packed_roundtrip(run, golden):
+    """read_sink reconstructs exactly one sink's rows via the manifest's
+    row-group index (packed layout)."""
+    from logparser_ray.state.manifest import read_sink
+
+    sc = run["sink_counts"].to_pandas()
+    row = sc.sort_values("n_turns", ascending=False).iloc[0]
+    ds = read_sink(
+        run["out_dir"],
+        {"role": row.role, "tool": row.tool, "template_id": row.template_id},
+    )
+    got = ds.to_pandas()
+    assert len(got) == row.n_turns
+    assert set(got["role"]) == {row.role}
+    assert set(got["template_id"].astype(str)) == {row.template_id}
+
+
+def test_hive_layout_roundtrip(ray_session, tmp_path):
+    """layout='hive' writes per-sink directories with identical counts."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    tdir, _ = fixtures.ensure_transcripts(N, seed=11)
+    out = str(tmp_path / "hive_out")
+    res = flagship.run_flagship(tdir, out_dir=out, resume=False, layout="hive")
+    sc = res["sink_counts"].to_pandas()
+    row = sc.sort_values("n_turns", ascending=False).iloc[0]
+    from urllib.parse import quote
+
+    rel = "/".join(
+        f"{c}={quote(str(v), safe='')}"
+        for c, v in [("role", row.role), ("tool", row.tool), ("template_id", row.template_id)]
+    )
+    files = _glob.glob(os.path.join(out, "frag=*", rel, "*.parquet"))
+    n = sum(_pq.read_metadata(f).num_rows for f in files)
+    assert n == row.n_turns
+    # hive drops partition cols from payload; packed keeps them
+    cols = _pq.read_schema(files[0]).names
+    assert "role" not in cols and "text" in cols
