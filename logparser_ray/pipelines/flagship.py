@@ -75,7 +75,9 @@ def run_flagship(
         # no read-back of the routed files)
         result["sink_counts"] = ray.data.from_arrow(manifests_sink_table(manifests))
     else:
-        ds = ray.data.read_parquet(input_dir)
+        from logparser_ray.sources.shards import read_parquet_shards
+
+        ds = read_parquet_shards(input_dir)
         ds = parse_enrich(ds, bank, with_params=with_params)
         result["sink_counts"] = sink_counts(ds)
     return result

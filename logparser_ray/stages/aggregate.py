@@ -26,8 +26,14 @@ def partial_count(keys: list[str], alias: str = "n_turns"):
     return fn
 
 
-def grouped_count(ds, keys: list[str], alias: str = "n_turns", batch_size=65_536):
-    """Exact grouped row count via partial-agg → groupby-sum. Returns Dataset."""
+def grouped_count(ds, keys: list[str], alias: str = "n_turns", batch_size=None):
+    """Exact grouped row count via partial-agg → groupby-sum. Returns Dataset.
+
+    ``batch_size=None`` (whole blocks) on purpose: a fixed batch size that
+    doesn't divide the upstream block size makes Ray rebatch ACROSS block
+    boundaries — concat-copying every wide block — which measured 4-7×
+    slower than per-block batches on this stage (blocks are already bounded
+    by the source's block sizing, so memory stays bounded without it)."""
     partials = ds.map_batches(
         partial_count(keys, alias),
         batch_format="pyarrow",

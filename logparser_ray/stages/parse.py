@@ -94,13 +94,18 @@ def match_stage(
     text_col: str = "text",
     with_params: bool = True,
     concurrency=None,
-    batch_size: int | None = 32_768,
+    batch_size: int | None = None,
 ):
     """``ds`` + compiled-bank match columns (template_id, template, params).
 
     Uses an actor pool when ``concurrency`` is given (amortizes the regex
     compile across batches); otherwise stateless tasks with the bank
     broadcast by Ray's serialization cache.
+
+    ``batch_size=None`` (whole blocks) by default: a fixed size that doesn't
+    divide the upstream block size makes Ray rebatch across block
+    boundaries (concat copies — measured slower); pass an explicit size only
+    to bound memory under very large blocks.
     """
     bank_ref = ray.put(bank.to_arrow())
     if concurrency is None:
