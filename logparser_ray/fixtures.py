@@ -302,6 +302,21 @@ def make_rawlog(n_lines: int = 500, seed: int = 43) -> tuple[list[str], pa.Table
     return lines, golden
 
 
+def ensure_rawlog(n_lines: int = 500, seed: int = 43) -> tuple[str, pa.Table]:
+    """Write the F4 raw-log fixture to a ``.log`` file under the cache dir
+    (exercises the real ``read_text``-style file source); returns
+    ``(path, golden)``."""
+    lines, golden = make_rawlog(n_lines=n_lines, seed=seed)
+    path = os.path.join(transcripts_cache_dir(), f"rawlog_n{n_lines}_s{seed}.log")
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        os.replace(tmp, path)
+    return path, golden
+
+
 # ---------------------------------------------------------------------------
 # F5. evaluator fixture — known grouping accuracy
 # ---------------------------------------------------------------------------

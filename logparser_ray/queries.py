@@ -25,7 +25,6 @@ import ray
 
 from logparser_ray import fixtures
 from logparser_ray.core.evaluator import evaluate_pandas
-from logparser_ray.core.headerdsl import HeaderFormat
 from logparser_ray.stages.aggregate import grouped_count, sink_counts, template_occurrences
 from logparser_ray.stages.dedup import (
     exact_dedup_representatives,
@@ -365,13 +364,12 @@ def q_transcripts_structured(sf_dir: str):
 
 
 def q_rawlog_structured(sf_dir: str):
-    """Header-DSL parse of the loghub-style rawlog fixture (S1–S2)."""
-    lines, _ = fixtures.make_rawlog(n_lines=500)
-    ds = ray.data.from_arrow(pa.table({"text": lines}))
-    hf = HeaderFormat(fixtures.RAWLOG_FORMAT)
-    parsed = ds.map_batches(
-        lambda b: hf.parse_table(b, keep_line=True), batch_format="pyarrow"
-    )
+    """Header-DSL parse of the loghub-style rawlog fixture from a real log
+    FILE through the file source (S1–S2)."""
+    from logparser_ray.sources.rawlog import read_raw_log
+
+    path, _ = fixtures.ensure_rawlog(n_lines=500)
+    parsed = read_raw_log(path, fixtures.RAWLOG_FORMAT, keep_line=True)
     return grouped_count(parsed, ["Level", "_quarantined"], alias="n")
 
 
