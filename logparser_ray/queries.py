@@ -258,6 +258,172 @@ def q_nation_region_join(sf_dir: str):
     return grouped_count(mapped, ["r_name"], alias="n_nations")
 
 
+def q_customers_semi_anti(sf_dir: str):
+    """Semi/anti-join via broadcast id-set (SURVEY.md J3 variant): per
+    segment, customers WITH ≥1 order and WITHOUT any order (counted once
+    each — membership, not a row-multiplying join)."""
+    okeys = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def collect_keys(b: pa.Table) -> pa.Table:
+        return pa.table({"k": pc.unique(b["o_custkey"].combine_chunks())})
+
+    key_parts = okeys.map_batches(collect_keys, batch_format="pyarrow")
+    have = ray.put(
+        pc.unique(
+            pa.concat_tables([ray.get(r) for r in key_parts.to_arrow_refs()])["k"]
+            .combine_chunks()
+        )
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def semi_anti(b: pa.Table) -> pa.Table:
+        keys = ray.get(have)
+        member = pc.is_in(b["c_custkey"], value_set=keys)
+        n_with = np.asarray(member).astype(np.int64)
+        t = pa.table(
+            {
+                "c_mktsegment": b["c_mktsegment"],
+                "n_with": pa.array(n_with),
+                "n_without": pa.array(1 - n_with),
+            }
+        )
+        agg = t.group_by(["c_mktsegment"]).aggregate(
+            [("n_with", "sum"), ("n_without", "sum")]
+        )
+        return agg.rename_columns(["c_mktsegment", "n_with", "n_without"])
+
+    from ray.data.aggregate import Sum
+
+    p = cust.map_batches(semi_anti, batch_format="pyarrow", zero_copy_batch=True)
+    return p.groupby("c_mktsegment").aggregate(
+        Sum("n_with", alias_name="n_with"), Sum("n_without", alias_name="n_without")
+    )
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """3-way broadcast join chain (SURVEY.md J3): lineitem → orders →
+    customer → nation, revenue per nation in integer cents."""
+    orders = pa.concat_tables(
+        [ray.get(r) for r in _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_arrow_refs()]
+    )
+    cust = pa.concat_tables(
+        [ray.get(r) for r in _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_arrow_refs()]
+    )
+    nation = pa.concat_tables(
+        [ray.get(r) for r in _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_arrow_refs()]
+    )
+    # pre-compose the two small dims on the driver: orderkey → nation name
+    oc = pc.index_in(orders["o_custkey"], value_set=cust["c_custkey"].combine_chunks())
+    nk = cust["c_nationkey"].combine_chunks().take(oc)
+    nn = pc.index_in(nk, value_set=nation["n_nationkey"].combine_chunks())
+    order_nation = pa.table(
+        {
+            "o_orderkey": orders["o_orderkey"],
+            "n_name": nation["n_name"].combine_chunks().take(nn),
+        }
+    )
+    ref = ray.put(order_nation)
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def join_agg(b: pa.Table) -> pa.Table:
+        dim = ray.get(ref)
+        idx = pc.index_in(b["l_orderkey"], value_set=dim["o_orderkey"].combine_chunks())
+        name = dim["n_name"].combine_chunks().take(idx)
+        cents = np.floor(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False))
+            * 100
+            + 0.5
+        ).astype(np.int64)
+        t = pa.table({"n_name": name, "revenue_cents": pa.array(cents)})
+        agg = t.group_by(["n_name"]).aggregate(
+            [("revenue_cents", "sum"), ([], "count_all")]
+        )
+        return agg.rename_columns(["n_name", "revenue_cents", "n_items"])
+
+    from ray.data.aggregate import Sum
+
+    p = li.map_batches(join_agg, batch_format="pyarrow", zero_copy_batch=True)
+    return p.groupby("n_name").aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents"),
+        Sum("n_items", alias_name="n_items"),
+    )
+
+
+def q_events_distinct_users(sf_dir: str):
+    """Exact distinct count per event_type: two-level groupby (dedup shuffle
+    then count) — the scalable exact-distinct shape."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    pairs = ds.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_c"))
+    return (
+        pairs.drop_columns(["_c"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+
+def q_orders_monthly(sf_dir: str):
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def part(b: pa.Table) -> pa.Table:
+        m = pc.strftime(b["o_orderdate"], format="%Y-%m")
+        cents = np.floor(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        t = pa.table({"month": m, "revenue_cents": pa.array(cents)})
+        agg = t.group_by(["month"]).aggregate(
+            [([], "count_all"), ("revenue_cents", "sum")]
+        )
+        return agg.rename_columns(["month", "n_orders", "revenue_cents"])
+
+    from ray.data.aggregate import Sum
+
+    p = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+    return p.groupby("month").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("revenue_cents", alias_name="revenue_cents"),
+    )
+
+
+def q_top_orders_per_segment(sf_dir: str):
+    """Per-group top-k (windowed O2 variant): top 3 orders by price per
+    market segment — groupby().map_groups with a deterministic tiebreak."""
+    cust = pa.concat_tables(
+        [ray.get(r) for r in _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_arrow_refs()]
+    )
+    ref = ray.put(cust)
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def add_seg(b: pa.Table) -> pa.Table:
+        dim = ray.get(ref)
+        idx = pc.index_in(b["o_custkey"], value_set=dim["c_custkey"].combine_chunks())
+        seg = dim["c_mktsegment"].combine_chunks().take(idx)
+        cents = np.floor(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "c_mktsegment": seg,
+                "o_orderkey": b["o_orderkey"],
+                "price_cents": pa.array(cents),
+            }
+        )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["price_cents", "o_orderkey"], ascending=[False, True]
+        ).head(3)
+
+    out = (
+        ds.map_batches(add_seg, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_mktsegment")
+        .map_groups(topk, batch_format="pandas")
+    )
+    return out
+
+
 def q_events_filter(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
     return ds.map_batches(
@@ -543,6 +709,11 @@ QUERIES = {
     "docs_quality_by_lang": q_docs_quality_by_lang,
     "top_sources": q_top_sources,
     "orders_customer_join": q_orders_customer_join,
+    "customers_semi_anti": q_customers_semi_anti,
+    "revenue_by_nation": q_revenue_by_nation,
+    "events_distinct_users": q_events_distinct_users,
+    "orders_monthly": q_orders_monthly,
+    "top_orders_per_segment": q_top_orders_per_segment,
     "lineitem_pricing": q_lineitem_pricing,
     "nation_region_join": q_nation_region_join,
     "embeddings_knn": q_embeddings_knn,
@@ -640,6 +811,41 @@ ORACLE = {
         "sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS revenue_cents "
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
         "GROUP BY c.c_mktsegment"
+    ),
+    "customers_semi_anti": (
+        "SELECT c_mktsegment, "
+        "CAST(sum(CASE WHEN c_custkey IN (SELECT o_custkey FROM orders) "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_with, "
+        "CAST(sum(CASE WHEN c_custkey IN (SELECT o_custkey FROM orders) "
+        "THEN 0 ELSE 1 END) AS BIGINT) AS n_without "
+        "FROM customer GROUP BY c_mktsegment"
+    ),
+    "revenue_by_nation": (
+        "SELECT n.n_name, "
+        "sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) "
+        "AS revenue_cents, count(*) AS n_items "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "GROUP BY n.n_name"
+    ),
+    "events_distinct_users": (
+        "SELECT event_type, count(DISTINCT user_id) AS n_users "
+        "FROM events GROUP BY event_type"
+    ),
+    "orders_monthly": (
+        "SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders, "
+        "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS revenue_cents "
+        "FROM orders GROUP BY 1"
+    ),
+    "top_orders_per_segment": (
+        "SELECT c_mktsegment, o_orderkey, price_cents FROM ("
+        "  SELECT c.c_mktsegment, o.o_orderkey, "
+        "  CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents, "
+        "  row_number() OVER (PARTITION BY c.c_mktsegment "
+        "    ORDER BY floor(o.o_totalprice * 100 + 0.5) DESC, o.o_orderkey ASC) AS rn "
+        "  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey) "
+        "WHERE rn <= 3"
     ),
     "lineitem_pricing": (
         "SELECT l_returnflag, l_linestatus, sum(CAST(l_quantity AS BIGINT)) AS sum_qty, "
