@@ -240,11 +240,18 @@ class RoutedRunner:
     - ``layout="hive"``: classic ``role=…/tool=…/template_id=…/`` dirs,
       one file per (shard, sink) — plain layout any engine reads directly.
 
-    ``run`` returns the manifests of all fragments (completed ones are
-    skipped when ``resume=True`` — the checkpointed-resume contract).
-    Writes are atomic (tmp + rename) with deterministic names, so retried
-    shard tasks and re-run fragments overwrite idempotently (SURVEY.md
-    §7.4 #4: exact count equality under retries).
+    **Checkpointing is shard-granular**: each shard task atomically writes
+    its data file(s) AND a receipt JSON (``.receipt-sNNNNN.json`` in the
+    fragment dir) carrying the shard's sink counts + row-group index. A
+    fragment's manifest is assembled from its receipts once all shards have
+    one; on resume, fragments with a ``done`` manifest are skipped outright
+    and partially-done fragments re-run ONLY their missing shards — a crash
+    mid-run never loses completed work, even work the driver hadn't
+    observed yet (Ray's streaming iterator drops undelivered results on
+    failure, so driver-side streaming commits would). Writes are atomic
+    (tmp + rename) with deterministic names, so retried shard tasks
+    overwrite idempotently (SURVEY.md §7.4 #4: exact count equality under
+    retries).
     """
 
     def __init__(
@@ -285,7 +292,9 @@ class RoutedRunner:
         writer = write_packed_shard if self.layout == "packed" else write_hive_shard
 
         def shard_fn(batch: pa.Table) -> pa.Table:
-            rows = []
+            import json as _json
+
+            acks = []
             for path, sidx, frag, frag_dir in zip(
                 batch["path"].to_pylist(),
                 batch["shard"].to_pylist(),
@@ -299,22 +308,40 @@ class RoutedRunner:
                 fname = (
                     f"{shard_name}.parquet" if writer is write_packed_shard else ""
                 )
-                rows.extend(
-                    (frag, rel, fname, rg, n, sidx, len(tbl)) for rel, rg, n in index
-                )
+                # shard-level checkpoint: data file(s) are already on disk,
+                # now the receipt commits this shard atomically
+                receipt = {
+                    "shard": sidx,
+                    "input": path,
+                    "file": fname,
+                    "rows_in": len(tbl),
+                    "index": [[rel, rg, n] for rel, rg, n in index],
+                }
+                rpath = os.path.join(frag_dir, f".receipt-s{sidx:05d}.json")
+                with open(rpath + ".tmp", "w") as f:
+                    _json.dump(receipt, f)
+                os.replace(rpath + ".tmp", rpath)
+                acks.append((frag, sidx))
             return pa.table(
                 {
-                    "frag": pa.array([r[0] for r in rows], pa.string()),
-                    "rel": pa.array([r[1] for r in rows], pa.string()),
-                    "file": pa.array([r[2] for r in rows], pa.string()),
-                    "row_group": pa.array([r[3] for r in rows], pa.int32()),
-                    "n": pa.array([r[4] for r in rows], pa.int64()),
-                    "shard": pa.array([r[5] for r in rows], pa.int32()),
-                    "rows_in": pa.array([r[6] for r in rows], pa.int64()),
+                    "frag": pa.array([a[0] for a in acks], pa.string()),
+                    "shard": pa.array([a[1] for a in acks], pa.int32()),
                 }
             )
 
         return shard_fn
+
+    def _load_receipts(self, frag_name: str) -> dict[int, dict]:
+        frag_dir = self.frag_dir(frag_name)
+        out: dict[int, dict] = {}
+        if not os.path.isdir(frag_dir):
+            return out
+        for f in os.listdir(frag_dir):
+            if f.startswith(".receipt-") and f.endswith(".json"):
+                with open(os.path.join(frag_dir, f)) as fh:
+                    r = json.load(fh)
+                out[int(r["shard"])] = r
+        return out
 
     def run_fragment(self, frag_name: str, input_files: list[str]) -> FragmentManifest:
         """Convenience: run a single fragment (fresh, no resume)."""
@@ -328,13 +355,12 @@ class RoutedRunner:
     ) -> tuple[list[FragmentManifest], int]:
         """Process ``{frag_name: [input files]}``; returns (manifests, n_skipped).
 
-        All pending fragments' shards run in ONE streaming Ray Data pipeline
-        (maximum overlap; the streaming executor handles backpressure). Each
-        fragment's manifest is committed AS SOON AS its last shard reports —
-        a mid-run crash keeps every completed fragment's checkpoint, and
-        ``resume=True`` skips exactly those fragments on the next run.
+        All pending shards run in ONE streaming Ray Data pipeline (maximum
+        overlap; the streaming executor handles backpressure). Completed
+        fragments (manifest present) are skipped when ``resume=True``;
+        partially-done fragments re-run only shards without a receipt.
+        ``n_skipped`` counts fully-skipped fragments.
         """
-        import pyarrow as pa
         import ray
 
         t0 = time.perf_counter()
@@ -351,73 +377,66 @@ class RoutedRunner:
             return [done[n] for n in sorted(fragments)], n_skipped
 
         items = []
-        expected: dict[str, int] = {}
         for name in todo:
             frag_dir = self.frag_dir(name)
-            if os.path.exists(frag_dir):
-                shutil.rmtree(frag_dir)  # fresh run of this fragment
-            os.makedirs(frag_dir)
             files = sorted(fragments[name])
-            expected[name] = len(files)
-            items.extend(
-                {"path": p, "shard": i, "frag": name, "frag_dir": frag_dir}
-                for i, p in enumerate(files)
+            receipts = self._load_receipts(name) if resume else {}
+            if not resume and os.path.exists(frag_dir):
+                shutil.rmtree(frag_dir)  # fresh run of this fragment
+            os.makedirs(frag_dir, exist_ok=True)
+            # drop receipts whose recorded input no longer matches (input
+            # set changed between runs) — their shard re-runs
+            for i, p in enumerate(files):
+                r = receipts.get(i)
+                if r is not None and r.get("input") == p:
+                    continue
+                items.append(
+                    {"path": p, "shard": i, "frag": name, "frag_dir": frag_dir}
+                )
+
+        if items:
+            # bundle a few shards per task: task dispatch costs ~10-20ms of
+            # driver time, so single-shard tasks cap in-flight parallelism
+            # on large clusters; a handful per task keeps dispatch off the
+            # critical path while staying small enough for the tail
+            n_tasks = max(
+                1, (len(items) + self.shards_per_task - 1) // self.shards_per_task
             )
+            ray.data.from_items(items, override_num_blocks=n_tasks).map_batches(
+                self._make_shard_fn(),
+                batch_format="pyarrow",
+                batch_size=None,
+                zero_copy_batch=True,
+            ).materialize()  # acks only; receipts on disk are the source of truth
 
-        # bundle a few shards per task: task dispatch costs ~10-20ms of
-        # driver time, so single-shard tasks cap in-flight parallelism on
-        # large clusters; 3-4 shards/task keeps dispatch off the critical
-        # path while staying small enough for the streaming tail
-        n_tasks = max(1, (len(items) + self.shards_per_task - 1) // self.shards_per_task)
-        counts_ds = ray.data.from_items(
-            items, override_num_blocks=n_tasks
-        ).map_batches(
-            self._make_shard_fn(),
-            batch_format="pyarrow",
-            batch_size=None,
-            zero_copy_batch=True,
-        )
-
-        # streaming consume: commit each fragment's manifest the moment its
-        # last shard lands
-        acc: dict[str, list] = {n: [] for n in todo}
-        seen_shards: dict[str, set] = {n: set() for n in todo}
-        for batch in counts_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
-            frags_touched = set()
-            for row in zip(
-                batch["frag"].to_pylist(),
-                batch["rel"].to_pylist(),
-                batch["file"].to_pylist(),
-                batch["row_group"].to_pylist(),
-                batch["n"].to_pylist(),
-                batch["shard"].to_pylist(),
-                batch["rows_in"].to_pylist(),
-            ):
-                acc[row[0]].append(row[1:])
-                seen_shards[row[0]].add(row[5])
-                frags_touched.add(row[0])
-            for name in frags_touched:
-                if len(seen_shards[name]) == expected[name] and name not in done:
-                    done[name] = self._commit_fragment(
-                        name, fragments[name], acc.pop(name), t0
-                    )
+        for name in todo:
+            done[name] = self._commit_fragment(name, sorted(fragments[name]), t0)
         return [done[n] for n in sorted(fragments)], n_skipped
 
     def _commit_fragment(
-        self, frag_name: str, input_files: list[str], entries: list, t0: float
+        self, frag_name: str, input_files: list[str], t0: float
     ) -> FragmentManifest:
+        """Assemble the fragment manifest from its shard receipts."""
+        receipts = self._load_receipts(frag_name)
+        missing = [i for i in range(len(input_files)) if i not in receipts]
+        if missing:
+            raise RuntimeError(
+                f"fragment {frag_name}: shards {missing} have no receipt"
+            )
         counts: dict[str, int] = {}
         sink_index: dict[str, list] = {}
-        shard_rows: dict[int, int] = {}
-        for rel, fname, rg, n, sidx, rows_in in entries:
-            counts[rel] = counts.get(rel, 0) + n
-            if fname:
-                sink_index.setdefault(rel, []).append([fname, rg, n])
-            shard_rows[sidx] = rows_in
+        rows_in = 0
+        for i in range(len(input_files)):
+            r = receipts[i]
+            rows_in += r["rows_in"]
+            for rel, rg, n in r["index"]:
+                counts[rel] = counts.get(rel, 0) + n
+                if r["file"]:
+                    sink_index.setdefault(rel, []).append([r["file"], rg, n])
         m = FragmentManifest(
             fragment=frag_name,
-            input_files=sorted(input_files),
-            rows_in=sum(shard_rows.values()),
+            input_files=list(input_files),
+            rows_in=rows_in,
             rows_written=sum(counts.values()),
             sinks=len(counts),
             sink_counts_sha256=counts_checksum(counts),

@@ -139,3 +139,79 @@ def test_hive_layout_roundtrip(ray_session, tmp_path):
     # hive drops partition cols from payload; packed keeps them
     cols = _pq.read_schema(files[0]).names
     assert "role" not in cols and "text" in cols
+
+
+def test_crash_mid_run_keeps_completed_fragments_and_resumes(ray_session, tmp_path):
+    """A failure while fragment B is in flight must not lose fragment A's
+    streaming-committed manifest; resume then completes only B and the final
+    counts equal the golden (exactly-once despite the crash)."""
+    import time
+
+    import pyarrow.parquet as _pq
+    from logparser_ray.state.manifest import RoutedRunner, list_manifests
+    from logparser_ray.stages.parse import make_match_enrich_table_fn
+
+    transcripts, golden = fixtures.make_transcripts(n_turns=2_000, seed=13)
+    indir = tmp_path / "in"
+    os.makedirs(indir)
+    files = []
+    step = 500
+    for i in range(4):
+        part = transcripts.slice(i * step, step).append_column(
+            "shard_tag", pd.array([i] * step, dtype="int32[pyarrow]").__arrow_array__()
+        )
+        p = str(indir / f"part-{i}.parquet")
+        _pq.write_table(part, p)
+        files.append(p)
+
+    sentinel = str(tmp_path / "fail_on")
+    open(sentinel, "w").close()
+    inner = make_match_enrich_table_fn(
+        fixtures.pattern_bank(), fixtures.roles_dim(), fixtures.tools_dim(),
+        with_params=False,
+    )
+
+    def flaky(tbl, _inner=inner, _sentinel=sentinel):
+        tag = tbl["shard_tag"][0].as_py()
+        if tag >= 2 and os.path.exists(_sentinel):
+            time.sleep(2)  # let fragment A's shards land + commit first
+            raise RuntimeError("injected crash")
+        return _inner(tbl)
+
+    out = str(tmp_path / "out")
+    runner = RoutedRunner(out, flaky, drop_cols=("shard_tag",), shards_per_task=1)
+    frags = {"fA": files[:2], "fB": files[2:]}
+    with pytest.raises(Exception):
+        runner.run(frags, resume=True)
+    # completed shards left durable receipts even though no manifest committed
+    fa_receipts = [
+        f for f in os.listdir(os.path.join(out, "frag=fA")) if f.startswith(".receipt-")
+    ]
+    assert len(fa_receipts) == 2
+    fa_packs = {
+        f: os.path.getmtime(os.path.join(out, "frag=fA", f))
+        for f in os.listdir(os.path.join(out, "frag=fA"))
+        if f.endswith(".parquet")
+    }
+    assert len(fa_packs) == 2
+
+    os.unlink(sentinel)
+    manifests, skipped = runner.run(frags, resume=True)
+    assert {m.fragment for m in manifests} == {"fA", "fB"}
+    # fA's shards were NOT re-executed: pack files untouched
+    for f, mtime in fa_packs.items():
+        assert os.path.getmtime(os.path.join(out, "frag=fA", f)) == mtime
+    total = sum(m.rows_written for m in manifests)
+    assert total == golden.num_rows
+    from logparser_ray.state.manifest import manifests_sink_table
+
+    got = (
+        manifests_sink_table(manifests)
+        .to_pandas()
+        .sort_values(["role", "tool", "template_id"])
+        .reset_index(drop=True)
+    )
+    want = fixtures.golden_sink_counts(golden).to_pandas()
+    pd.testing.assert_frame_equal(
+        got[["role", "tool", "template_id", "n_turns"]], want, check_dtype=False
+    )
