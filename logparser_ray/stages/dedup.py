@@ -142,6 +142,18 @@ def minhash_near_dupes(
     At 100 TB scale the verify would be a hash-partitioned join of the pair
     list against the corpus — same semantics, noted per SURVEY.md J3.
     """
+    # candidate pairs: hash-partition the (band, bucket, doc) rows so each
+    # bucket lands whole in one block, then ONE vectorized pyarrow group_by
+    # per block with a "list" aggregate — python touches only multi-member
+    # buckets (vs map_groups' per-bucket pandas call: measured ~5s → ~1s at
+    # sf0.1's ~70k buckets). The shuffle strategy lives in the context
+    # captured by the ROOT dataset at creation, so flip it there.
+    from ray.data.context import ShuffleStrategy
+
+    root_ctx = ds.context
+    prev_strategy = root_ctx.shuffle_strategy
+    root_ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
     bands_ds = ds.select_columns(["doc_id", "text"]).map_batches(
         MinHasher,
         fn_constructor_kwargs={"k": k, "bands": bands, "rows_per_band": rows_per_band},
@@ -149,32 +161,108 @@ def minhash_near_dupes(
         zero_copy_batch=True,
         concurrency=concurrency or 4,
     )
-    pairs = (
-        bands_ds.groupby(["band_id", "band_hash"])
-        .map_groups(_pairs_from_bucket, batch_format="pandas")
-        .to_pandas()
-    )
+
+    def pairs_in_block(b: pa.Table) -> pa.Table:
+        agg = b.group_by(["band_id", "band_hash"]).aggregate([("doc_id", "list")])
+        out_a, out_b = [], []
+        for ids in agg["doc_id_list"].to_pylist():
+            u = sorted(set(ids))
+            if len(u) < 2 or len(u) > 200:  # cap pathological buckets
+                continue
+            for i in range(len(u)):
+                for j in range(i + 1, len(u)):
+                    out_a.append(u[i])
+                    out_b.append(u[j])
+        return pa.table(
+            {
+                "a": pa.array(np.asarray(out_a, np.int64)),
+                "b": pa.array(np.asarray(out_b, np.int64)),
+            }
+        )
+
+    try:
+        n_blocks = max(4, min(64, bands_ds.count() // 50_000 + 4))
+        pairs = (
+            bands_ds.repartition(num_blocks=n_blocks, keys=["band_id", "band_hash"])
+            .map_batches(pairs_in_block, batch_format="pyarrow", batch_size=None)
+            .to_pandas()
+        )
+    finally:
+        root_ctx.shuffle_strategy = prev_strategy
     if len(pairs) == 0:
         return pd.DataFrame({"a": [], "b": [], "jaccard": []})
     pairs = pairs.drop_duplicates(["a", "b"]).reset_index(drop=True)
+
+    # distributed verify: candidate docs' sorted-unique shingle-hash arrays
+    # are small (ids × ~tokens × 8B) — broadcast once, then exact Jaccard per
+    # pair via np.intersect1d inside map_batches (vs a driver-side Python
+    # loop: measured ~8s → ~1s at sf0.1's 534k candidates). At 100 TB the
+    # broadcast becomes a hash-partitioned join of pairs against shingles,
+    # same semantics.
     need = np.unique(np.concatenate([pairs["a"], pairs["b"]])).astype(np.int64)
-    need_set = set(need.tolist())
-    texts_tbl = (
-        ds.select_columns(["doc_id", "text"])
-        .map_batches(
-            lambda b: b.filter(
-                pc.is_in(b["doc_id"], value_set=pa.array(sorted(need_set)))
-            ),
-            batch_format="pyarrow",
+    need_arr = pa.array(need)
+
+    def shingles_of(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b["doc_id"], value_set=need_arr))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_numpy(zero_copy_only=False)
+        hs = [np.unique(h) for h in _shingle_hashes(texts, k)]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "sh": pa.array(
+                    [h.astype(np.uint64) for h in hs], pa.list_(pa.uint64())
+                ),
+            }
         )
+
+    sh_tbl = pa.concat_tables(
+        [
+            ray.get(r)
+            for r in ds.select_columns(["doc_id", "text"])
+            .map_batches(shingles_of, batch_format="pyarrow", zero_copy_batch=True)
+            .to_arrow_refs()
+        ]
+    )
+    lut_ref = ray.put(
+        dict(
+            zip(
+                sh_tbl["doc_id"].to_pylist(),
+                [np.asarray(v, dtype=np.uint64) for v in sh_tbl["sh"].to_pylist()],
+            )
+        )
+    )
+
+    def verify(b: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        a_ids = b["a"].to_numpy(zero_copy_only=False)
+        b_ids = b["b"].to_numpy(zero_copy_only=False)
+        jac = np.empty(len(a_ids), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(a_ids, b_ids)):
+            sa, sb = lut[x], lut[y]
+            if not len(sa) and not len(sb):
+                jac[i] = 1.0
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            jac[i] = inter / (len(sa) + len(sb) - inter)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "a": pa.array(a_ids[keep]),
+                "b": pa.array(b_ids[keep]),
+                "jaccard": pa.array(np.round(jac[keep], 4)),
+            }
+        )
+
+    import ray.data as rd
+
+    n_blocks = max(1, min(64, len(pairs) // 4_000))
+    out = (
+        rd.from_arrow(pa.Table.from_pandas(pairs, preserve_index=False))
+        .repartition(num_blocks=n_blocks)
+        .map_batches(verify, batch_format="pyarrow", batch_size=None)
         .to_pandas()
     )
-    lut = dict(zip(texts_tbl["doc_id"], texts_tbl["text"]))
-    jac = np.array(
-        [ngram_jaccard(lut[a], lut[b], k) for a, b in zip(pairs["a"], pairs["b"])]
-    )
-    out = pairs.assign(jaccard=np.round(jac, 4))
-    out = out[out["jaccard"] >= threshold]
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
