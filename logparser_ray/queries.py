@@ -691,6 +691,36 @@ def q_evaluator_fixture(sf_dir: str):
     return res.to_table()
 
 
+def q_evaluator_drain(sf_dir: str):
+    """End-to-end A15: mine with Drain (scale mode), match the corpus, and
+    evaluate grouping accuracy against the fixture's golden assignment via
+    the distributed evaluator (Dataset.join + groupbys)."""
+    from logparser_ray.core.evaluator import evaluate_datasets
+    from logparser_ray.stages.mine import fit_bank
+    from logparser_ray.stages.parse import match_stage
+
+    n = min(_turns_for(sf_dir), 60_000)
+    tdir, gpath = fixtures.ensure_transcripts(n, with_golden=True)
+    ds = ray.data.read_parquet(tdir)
+    bank = fit_bank(ds, "drain", params={"depth": 3, "st": 0.4})
+    parsed = match_stage(ds, bank, with_params=False).select_columns(
+        ["conv_id", "turn_idx", "template_id"]
+    )
+    truth = ray.data.read_parquet(
+        gpath, columns=["conv_id", "turn_idx", "template_id"]
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["conv_id", "turn_idx", "event_id"])
+
+    res = evaluate_datasets(
+        truth.map_batches(rename, batch_format="pyarrow"),
+        parsed.map_batches(rename, batch_format="pyarrow"),
+        key=["conv_id", "turn_idx"],
+    )
+    return res.to_table()
+
+
 # ---------------------------------------------------------------------------
 # registries
 # ---------------------------------------------------------------------------
@@ -731,6 +761,7 @@ QUERIES = {
     "docs_fingerprints": q_docs_fingerprints,
     "media_features": q_media_features,
     "evaluator_fixture": q_evaluator_fixture,
+    "evaluator_drain": q_evaluator_drain,
     # miner fits (rows-only: order-dependent/iterative, not SQL-expressible)
     "drain_templates": _miner_query(_fit_drain),
     "spell_templates": _miner_query(_fit_spell),

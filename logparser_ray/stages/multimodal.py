@@ -101,3 +101,103 @@ def featurize_media(ds, concurrency=(1, 4), batch_size: int = 64):
         zero_copy_batch=True,
         concurrency=concurrency,
     )
+
+
+class MediaResizer:
+    """Actor-pool stage: resize images/video frames to ``(target_w, target_h)``.
+
+    The decode+resample kernel is STUBBED (no image libs in this container):
+    the fake path rewrites the metadata and emits a deterministic payload of
+    the right nominal size, so the schema contract, batch sizing, and
+    actor-pool wiring are real. Plug PIL's ``Image.resize`` at the marked
+    call site; audio rows pass through untouched.
+    """
+
+    def __init__(self, target_w: int = 224, target_h: int = 224, decoder: str = "fake"):
+        if decoder == "real":
+            raise NotImplementedError("plug PIL/ffmpeg resize here")
+        self.w, self.h = target_w, target_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = np.asarray(batch["kind"].to_pylist(), dtype=object)
+        visual = kinds != "audio"
+        payloads = batch["payload"].to_pylist()
+        new_payloads = [
+            (hashlib.sha256(p).digest() * ((self.w * self.h * 3) // 32 + 1))[
+                : self.w * self.h * 3
+            ]
+            if v
+            else p  # <- replace with real resample
+            for p, v in zip(payloads, visual)
+        ]
+        w = np.where(visual, self.w, -1).astype(np.int32)
+        h = np.where(visual, self.h, -1).astype(np.int32)
+        out = batch.drop_columns(["payload", "width", "height"])
+        out = out.append_column("width", pa.array(w))
+        out = out.append_column("height", pa.array(h))
+        out = out.append_column("payload", pa.array(new_payloads, pa.binary()))
+        return out
+
+
+class FrameSampler:
+    """Actor-pool stage: sample ``n_frames`` evenly from each video payload.
+
+    Emits one row PER FRAME (row-expanding map — the flat_map shape); images
+    and audio pass through with ``frame_idx = -1``. Frame extraction is
+    STUBBED with deterministic byte slices; plug ffmpeg at the call site.
+    """
+
+    def __init__(self, n_frames: int = 4, decoder: str = "fake"):
+        if decoder == "real":
+            raise NotImplementedError("plug ffmpeg frame extraction here")
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {name: [] for name in ("media_id", "kind", "frame_idx", "payload")}
+        for mid, kind, payload in zip(
+            batch["media_id"].to_pylist(),
+            batch["kind"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            if kind == "video":
+                step = max(1, len(payload) // self.n_frames)
+                for fi in range(self.n_frames):
+                    rows["media_id"].append(mid)
+                    rows["kind"].append(kind)
+                    rows["frame_idx"].append(fi)
+                    rows["payload"].append(payload[fi * step : (fi + 1) * step])
+            else:
+                rows["media_id"].append(mid)
+                rows["kind"].append(kind)
+                rows["frame_idx"].append(-1)
+                rows["payload"].append(payload)
+        return pa.table(
+            {
+                "media_id": pa.array(rows["media_id"], pa.int64()),
+                "kind": pa.array(rows["kind"], pa.string()),
+                "frame_idx": pa.array(rows["frame_idx"], pa.int32()),
+                "payload": pa.array(rows["payload"], pa.binary()),
+            }
+        )
+
+
+def resize_media(ds, target_w: int = 224, target_h: int = 224, concurrency=(1, 4)):
+    return ds.map_batches(
+        MediaResizer,
+        fn_constructor_kwargs={"target_w": target_w, "target_h": target_h},
+        batch_format="pyarrow",
+        batch_size=64,
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+
+def sample_frames(ds, n_frames: int = 4, concurrency=(1, 4)):
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"n_frames": n_frames},
+        batch_format="pyarrow",
+        batch_size=64,
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )

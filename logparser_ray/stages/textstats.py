@@ -66,9 +66,15 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         np.asarray(pc.utf8_length(flat), dtype=np.int64), offsets
     )
     mean_tok_len = total_chars / denom
+    n_chars = np.asarray(pc.utf8_length(texts), dtype=np.int64)
+    n_punct = np.asarray(
+        pc.count_substring_regex(texts, r"[^\w\s]"), dtype=np.int64
+    )
+    punct_ratio = n_punct / np.maximum(n_chars, 1)
     out = batch.append_column("n_tok", pa.array(n_tok))
     out = out.append_column("stop_ratio", pa.array(np.round(stop_ratio, 4)))
     out = out.append_column("mean_tok_len", pa.array(np.round(mean_tok_len, 4)))
+    out = out.append_column("punct_ratio", pa.array(np.round(punct_ratio, 4)))
     return out
 
 

@@ -163,3 +163,28 @@ def test_embedding_near_dupes_exact_vs_lsh_subset(ray_session):
         assert (a, b) in ek and ek[(a, b)] == c
     # symmetric dedup: every pair once, a < b
     assert (exact["a"] < exact["b"]).all()
+
+
+def test_media_resize_and_frame_sample(ray_session):
+    import ray
+
+    from logparser_ray.stages.multimodal import (
+        make_media_table,
+        resize_media,
+        sample_frames,
+    )
+
+    ds = ray.data.from_arrow(make_media_table(n=48))
+    resized = resize_media(ds, 64, 64).to_pandas()
+    vis = resized[resized["kind"] != "audio"]
+    assert (vis["width"] == 64).all() and (vis["height"] == 64).all()
+    assert vis["payload"].map(len).eq(64 * 64 * 3).all()
+    aud = resized[resized["kind"] == "audio"]
+    assert (aud["width"] == -1).all()
+
+    frames = sample_frames(ds, n_frames=3).to_pandas()
+    vids = frames[frames["kind"] == "video"]
+    per = vids.groupby("media_id")["frame_idx"].agg(["count", "max"])
+    assert (per["count"] == 3).all() and (per["max"] == 2).all()
+    others = frames[frames["kind"] != "video"]
+    assert (others["frame_idx"] == -1).all()
