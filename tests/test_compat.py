@@ -1,0 +1,78 @@
+"""Drop-in upstream API façade tests (SURVEY.md §2.8): upstream demo-script
+shape, upstream parameter names, upstream output artifacts."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from logparser_ray import fixtures
+
+
+@pytest.fixture(scope="module")
+def logdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("logs")
+    lines, _ = fixtures.make_rawlog(n_lines=300, seed=51)
+    with open(d / "app.log", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return str(d)
+
+
+def test_drain_compat_demo_shape(ray_session, logdir, tmp_path):
+    from logparser_ray.compat import Drain
+
+    parser = Drain.LogParser(
+        fixtures.RAWLOG_FORMAT,
+        logdir,
+        str(tmp_path),
+        rex=fixtures.RAWLOG_REX,
+        depth=4,
+        st=0.5,
+    )
+    parser.parse("app.log")
+    s = pd.read_csv(tmp_path / "app.log_structured.csv")
+    t = pd.read_csv(tmp_path / "app.log_templates.csv")
+    assert {"LineId", "Date", "Time", "Level", "Content", "EventId", "EventTemplate"} <= set(
+        s.columns
+    )
+    # Content is the ORIGINAL raw content (rex only feeds the miner)
+    assert s["Content"].str.contains("blk_").any()
+    assert not s["Content"].str.contains("<\\*>", regex=True).any()
+    assert list(t.columns) == ["EventId", "EventTemplate", "Occurrences"]
+    assert t["Occurrences"].sum() == len(s)
+    # the rex-preprocessed corpus has 4 true shapes; Drain should find few
+    assert 1 <= len(t) <= 12
+    # EventIds consistent between the two files
+    assert set(s["EventId"]) == set(t["EventId"])
+
+
+@pytest.mark.parametrize(
+    "algo,kwargs",
+    [
+        ("Spell", {"tau": 0.55}),
+        ("IPLoM", {"CT": 0.35, "lowerBound": 0.25}),
+        ("SLCT", {"support": 10}),
+        ("LogCluster", {"rsupport": 3}),
+        ("SHISO", {"maxChildNum": 8, "mergeThreshold": 0.15}),
+    ],
+)
+def test_other_algos_compat(ray_session, logdir, tmp_path, algo, kwargs):
+    import logparser_ray.compat as compat
+
+    mod = getattr(compat, algo)
+    parser = mod.LogParser(
+        fixtures.RAWLOG_FORMAT, logdir, str(tmp_path / algo),
+        rex=fixtures.RAWLOG_REX, **kwargs,
+    )
+    parser.parse("app.log")
+    s = pd.read_csv(tmp_path / algo / "app.log_structured.csv")
+    t = pd.read_csv(tmp_path / algo / "app.log_templates.csv")
+    assert len(s) > 0 and len(t) >= 1
+    assert t["Occurrences"].sum() == len(s)
+
+
+def test_molfi_unavailable(logdir, tmp_path):
+    from logparser_ray.compat import MoLFI
+
+    with pytest.raises(NotImplementedError):
+        MoLFI.LogParser(fixtures.RAWLOG_FORMAT, logdir, str(tmp_path))
