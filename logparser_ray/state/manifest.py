@@ -111,17 +111,42 @@ def dir_sink_counts(frag_dir: str) -> dict[str, int]:
     return counts
 
 
-def _sink_counts_remote(frag_dir: str) -> dict[str, int]:
-    """``dir_sink_counts`` as a Ray task — keeps the footer walk off the
-    driver (GIL) and lets counts for finished fragments overlap other
-    fragments' pipelines."""
-    import ray
+def audit_fragment(out_root: str, frag_name: str) -> dict:
+    """Integrity check: do the manifest's lineage claims match the bytes on
+    disk? Verifies (a) per-sink counts against Parquet footer metadata and
+    (b) the sink_counts checksum. Returns ``{"ok": bool, "mismatches": [...]}``
+    — the audit half of the exactly-once story (manifests are claims;
+    footers are ground truth)."""
+    import pyarrow.parquet as pq
 
-    fn = getattr(_sink_counts_remote, "_task", None)
-    if fn is None:
-        fn = ray.remote(num_cpus=0.5)(dir_sink_counts)
-        _sink_counts_remote._task = fn
-    return ray.get(fn.remote(frag_dir))
+    m = load_manifest(out_root, frag_name)
+    if m is None:
+        return {"ok": False, "mismatches": ["manifest missing"]}
+    frag_dir = os.path.join(out_root, f"frag={frag_name}")
+    mismatches: list[str] = []
+    if m.extra.get("layout") == "packed":
+        # per-sink counts from each pack file's row-group metadata
+        actual: dict[str, int] = {}
+        for rel, entries in m.extra.get("sink_index", {}).items():
+            for fname, rg, _n in entries:
+                md = pq.read_metadata(os.path.join(frag_dir, fname))
+                actual[rel] = actual.get(rel, 0) + md.row_group(rg).num_rows
+        if actual != m.sink_counts:
+            bad = {
+                k
+                for k in set(actual) | set(m.sink_counts)
+                if actual.get(k) != m.sink_counts.get(k)
+            }
+            mismatches.append(f"sink counts differ for {sorted(bad)[:5]}")
+    else:
+        actual = dir_sink_counts(frag_dir)
+        if actual != m.sink_counts:
+            mismatches.append("hive dir counts differ from manifest")
+    if counts_checksum(m.sink_counts) != m.sink_counts_sha256:
+        mismatches.append("sink_counts checksum mismatch")
+    if sum(m.sink_counts.values()) != m.rows_written:
+        mismatches.append("rows_written != sum(sink_counts)")
+    return {"ok": not mismatches, "mismatches": mismatches}
 
 
 def manifests_sink_table(manifests, partition_cols=("role", "tool", "template_id")):

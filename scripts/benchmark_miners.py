@@ -1,0 +1,97 @@
+"""Miner accuracy benchmark — the upstream benchmark-harness shape
+(† ``benchmark/<Algo>_benchmark.py``: per-dataset settings dict → parse →
+evaluate → accuracy table + mean), over this repo's deterministic fixtures.
+
+    python scripts/benchmark_miners.py            # transcripts @ 2k turns
+    python scripts/benchmark_miners.py 20000      # bigger corpus
+
+Prints per-miner grouping accuracy / F1 / templates found, writes
+``/tmp/rayparse_miner_benchmark.csv``, and prints the mean accuracy —
+the same report surface the reference's benchmark scripts produce.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pandas as pd
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from logparser_ray import fixtures
+    from logparser_ray.core.evaluator import evaluate_pandas
+    from logparser_ray.stages import mine
+    from logparser_ray.stages.parse import match_stage
+
+    # per-miner settings — the analogue of upstream's benchmark_settings dict
+    settings = {
+        "drain": lambda ds: mine.fit_bank(ds, "drain", params={"depth": 3, "st": 0.4}),
+        "spell": lambda ds: mine.fit_bank(ds, "spell", params={"tau": 0.5}),
+        "lenma": lambda ds: mine.fit_bank(ds, "lenma", params={"threshold": 0.9}),
+        "shiso": lambda ds: mine.fit_bank(
+            ds, "shiso", params={"max_children": 8, "merge_threshold": 0.15}
+        ),
+        "logmine": lambda ds: mine.fit_bank(ds, "logmine", params={"max_dist": 0.3}),
+        "iplom": lambda ds: mine.iplom_fit(ds),
+        "ael": lambda ds: mine.ael_fit(ds),
+        "slct": lambda ds: mine.slct_fit(ds, support=max(10, int(0.04 * n))),
+        "logcluster": lambda ds: mine.logcluster_fit(ds, support=max(10, int(0.04 * n))),
+        "logram": lambda ds: mine.logram_fit(ds, threshold=max(10, int(0.04 * n))),
+        "lfa": lambda ds: mine.lfa_fit(ds),
+        "logsig": lambda ds: mine.logsig_fit(ds, k=16),
+        "lke": lambda ds: mine.lke_fit(ds, threshold=0.3, n_sample=min(n, 1_000)),
+    }
+
+    tdir, _ = fixtures.ensure_transcripts(n)
+    _, golden = fixtures.make_transcripts(n_turns=n)
+    truth = golden.select(["conv_id", "turn_idx", "template_id"]).to_pandas()
+    truth = truth.rename(columns={"template_id": "event_id"})
+
+    rows = []
+    for name, fit in settings.items():
+        ds = ray.data.read_parquet(tdir)
+        t0 = time.perf_counter()
+        bank = fit(ds)
+        fit_s = time.perf_counter() - t0
+        matched = match_stage(ds, bank, with_params=False)
+        parsed = matched.select_columns(
+            ["conv_id", "turn_idx", "template_id"]
+        ).to_pandas()
+        parsed = parsed.rename(columns={"template_id": "event_id"})
+        r = evaluate_pandas(truth, parsed, key=["conv_id", "turn_idx"])
+        rows.append(
+            {
+                "miner": name,
+                "accuracy": round(r.accuracy, 4),
+                "f1": round(r.f1, 4),
+                "templates": len(bank),
+                "fit_s": round(fit_s, 2),
+            }
+        )
+        print(
+            f"{name:12s} acc={r.accuracy:6.4f}  f1={r.f1:6.4f}  "
+            f"templates={len(bank):3d}  fit={fit_s:6.2f}s"
+        )
+    df = pd.DataFrame(rows)
+    out = "/tmp/rayparse_miner_benchmark.csv"
+    df.to_csv(out, index=False)
+    print(f"\nmean accuracy: {df['accuracy'].mean():.4f}  → {out}")
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

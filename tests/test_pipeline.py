@@ -215,3 +215,25 @@ def test_crash_mid_run_keeps_completed_fragments_and_resumes(ray_session, tmp_pa
     pd.testing.assert_frame_equal(
         got[["role", "tool", "template_id", "n_turns"]], want, check_dtype=False
     )
+
+
+def test_audit_fragment_validates_and_detects_tamper(run):
+    from logparser_ray.state.manifest import audit_fragment, list_manifests
+
+    out = run["out_dir"]
+    frags = [m.fragment for m in list_manifests(out)]
+    for f in frags:
+        res = audit_fragment(out, f)
+        assert res["ok"], res
+    # tamper: truncate one pack file's claim by editing the manifest
+    import json as _json
+
+    mpath = os.path.join(out, "_manifest", f"{frags[0]}.json")
+    with open(mpath) as fh:
+        doc = _json.load(fh)
+    k = next(iter(doc["sink_counts"]))
+    doc["sink_counts"][k] += 1
+    with open(mpath, "w") as fh:
+        _json.dump(doc, fh)
+    res = audit_fragment(out, frags[0])
+    assert not res["ok"] and res["mismatches"]
