@@ -570,6 +570,16 @@ def q_embeddings_near_dupes(sf_dir: str):
     return embedding_near_dupes(ds, threshold=0.4, mode="exact")
 
 
+def q_embeddings_ivf_knn(sf_dir: str):
+    """IVF ANN: distributed k-means coarse quantizer + probed search."""
+    from logparser_ray.stages.similarity import ivf_topk, kmeans_fit
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    centroids = kmeans_fit(ds, k=8, iters=5)
+    q = ds.filter(expr="vec_id == 0").to_pandas()["embedding"].iloc[0]
+    return ivf_topk(ds, np.asarray(q, dtype=np.float64), centroids, k=5, n_probe=2)
+
+
 def q_embeddings_near_dupes_lsh(sf_dir: str):
     """LSH-bucketed near-dup pairs — the 100 TB path (recall<1 → rows-only)."""
     from logparser_ray.stages.similarity import embedding_near_dupes
@@ -757,6 +767,7 @@ QUERIES = {
     "docs_simhash_clusters": q_docs_simhash_clusters,
     "docs_langid": q_docs_langid,
     "embeddings_lsh_knn": q_embeddings_lsh_knn,
+    "embeddings_ivf_knn": q_embeddings_ivf_knn,
     "embeddings_near_dupes_lsh": q_embeddings_near_dupes_lsh,
     "docs_fingerprints": q_docs_fingerprints,
     "media_features": q_media_features,

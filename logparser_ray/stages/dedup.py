@@ -159,7 +159,9 @@ def minhash_near_dupes(
         fn_constructor_kwargs={"k": k, "bands": bands, "rows_per_band": rows_per_band},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency or 4,
+        concurrency=concurrency or (1, 4),  # autoscaling: a FIXED pool of 4 can
+        # reserve every CPU of a small cluster and starve the upstream read
+        # task (deadlock); min=1 always leaves room
     )
 
     def pairs_in_block(b: pa.Table) -> pa.Table:

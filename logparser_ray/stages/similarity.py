@@ -65,7 +65,9 @@ def brute_force_topk(ds, query: np.ndarray, k: int = 5, concurrency=None):
         fn_constructor_kwargs={"query_ref": qref, "k": k},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency or 4,
+        concurrency=concurrency or (1, 4),  # autoscaling: a FIXED pool of 4 can
+        # reserve every CPU of a small cluster and starve the upstream read
+        # task (deadlock); min=1 always leaves room
     ).to_pandas()
     out = (
         partials.sort_values(["query_idx", "cos", "vec_id"], ascending=[True, False, True])
@@ -216,3 +218,114 @@ def embedding_near_dupes(
     else:
         raise ValueError(f"unknown mode {mode!r}")
     return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — k-means coarse quantizer, the classic scale path
+# ---------------------------------------------------------------------------
+
+
+def kmeans_fit(ds, k: int = 16, iters: int = 10, seed: int = 7, id_col: str = "vec_id"):
+    """Distributed Lloyd's k-means over the embedding column.
+
+    Each iteration is ONE map_batches pass emitting per-batch partial sums
+    (centroid_id → vector sum + count) plus a tiny driver-side reduce —
+    the canonical broadcast-model / partial-aggregate iteration: centroids
+    (k×d floats) broadcast via ``ray.put``, row-scale data never leaves the
+    workers. Deterministic: centroids init from the ``k`` lexicographically
+    smallest ids' vectors.
+    """
+    import pandas as pd
+
+    cols = ds.select_columns([id_col, "embedding"])
+    # deterministic init: vectors of the k smallest ids
+    init = (
+        cols.sort(id_col)
+        .limit(k)
+        .to_pandas()["embedding"]
+        .tolist()
+    )
+    centroids = _normalize(np.asarray(init, dtype=np.float64))
+
+    for _ in range(iters):
+        cref = ray.put(centroids)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            emb = _normalize(
+                np.asarray(
+                    batch["embedding"].combine_chunks().to_numpy(zero_copy_only=False).tolist(),
+                    dtype=np.float64,
+                )
+            )
+            assign = np.argmax(emb @ c.T, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, emb)
+            counts = np.bincount(assign, minlength=len(c)).astype(np.int64)
+            return pa.table(
+                {
+                    "cid": pa.array(np.arange(len(c), dtype=np.int32)),
+                    "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                    "n": pa.array(counts),
+                }
+            )
+
+        parts = pa.concat_tables(
+            [
+                ray.get(r)
+                for r in cols.map_batches(
+                    partial, batch_format="pyarrow", batch_size=None
+                ).to_arrow_refs()
+            ]
+        ).to_pandas()
+        agg_n = parts.groupby("cid")["n"].sum()
+        new = centroids.copy()
+        for cid, grp in parts.groupby("cid"):
+            total = agg_n[cid]
+            if total == 0:
+                continue  # empty cluster keeps its centroid (deterministic)
+            s = np.sum(np.stack(grp["vsum"].to_list()), axis=0)
+            new[cid] = s / total
+        new = _normalize(new)
+        if np.allclose(new, centroids, atol=1e-9):
+            centroids = new
+            break
+        centroids = new
+    return centroids
+
+
+def ivf_topk(
+    ds,
+    query: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+):
+    """IVF search: score only vectors whose nearest centroid is among the
+    query's ``n_probe`` closest centroids — the coarse-quantizer pruning
+    that bounds scanned vectors to ~n_probe/k of the corpus at 100 TB."""
+    query = np.atleast_2d(np.asarray(query, dtype=np.float64))
+    qn = _normalize(query)
+    probe = set(
+        np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe].reshape(-1).tolist()
+    )
+    cref = ray.put(centroids)
+    probe_arr = np.array(sorted(probe))
+
+    def prune(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        emb = _normalize(
+            np.asarray(
+                batch["embedding"].combine_chunks().to_numpy(zero_copy_only=False).tolist(),
+                dtype=np.float64,
+            )
+        )
+        assign = np.argmax(emb @ c.T, axis=1)
+        keep = np.isin(assign, probe_arr)
+        return batch.filter(pa.array(keep))
+
+    pruned = ds.select_columns([id_col, "embedding"]).map_batches(
+        prune, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return brute_force_topk(pruned, query, k=k)

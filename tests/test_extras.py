@@ -188,3 +188,33 @@ def test_media_resize_and_frame_sample(ray_session):
     assert (per["count"] == 3).all() and (per["max"] == 2).all()
     others = frames[frames["kind"] != "video"]
     assert (others["frame_idx"] == -1).all()
+
+
+def test_ivf_kmeans_and_search(ray_session):
+    import numpy as np
+    import ray
+
+    from logparser_ray.stages.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_fit,
+    )
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    c1 = kmeans_fit(ds, k=8, iters=5)
+    c2 = kmeans_fit(ds, k=8, iters=5)
+    assert np.allclose(c1, c2), "k-means must be deterministic"
+    q = np.asarray(
+        ds.filter(expr="vec_id == 0").to_pandas()["embedding"].iloc[0], dtype=np.float64
+    )
+    exact = brute_force_topk(ds, q, k=5)
+    approx = ivf_topk(ds, q, c1, k=5, n_probe=3)
+    # IVF results are a subset of the corpus with identical cosines for
+    # returned ids; with generous probes the top-1 must be found
+    exact_map = dict(zip(exact["vec_id"], exact["cos"].round(6)))
+    for vid, cos in zip(approx["vec_id"], approx["cos"].round(6)):
+        if vid in exact_map:
+            assert exact_map[vid] == cos
+    assert exact["vec_id"].iloc[0] in set(approx["vec_id"])
