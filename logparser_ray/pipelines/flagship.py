@@ -68,12 +68,29 @@ def run_flagship(
             f"f{i // files_per_fragment:05d}": files[i : i + files_per_fragment]
             for i in range(0, len(files), files_per_fragment)
         }
+        import time as _time
+
+        t0 = _time.perf_counter()
         manifests, skipped = runner.run(fragments, resume=resume)
+        wall = _time.perf_counter() - t0
         result["manifests"] = manifests
         result["skipped"] = skipped
         # per-sink counts straight from the lineage manifests (metadata only —
         # no read-back of the routed files)
         result["sink_counts"] = ray.data.from_arrow(manifests_sink_table(manifests))
+        # per-stage metrics (north-star: throughput / row counts per stage)
+        rows_in = sum(m.rows_in for m in manifests)
+        rows_out = sum(m.rows_written for m in manifests)
+        result["metrics"] = {
+            "fragments": len(manifests),
+            "fragments_skipped": skipped,
+            "shards": sum(len(m.input_files) for m in manifests),
+            "rows_in": rows_in,
+            "rows_written": rows_out,
+            "sinks": len({k for m in manifests for k in m.sink_counts}),
+            "wall_s": round(wall, 3),
+            "turns_per_sec": round(rows_in / wall, 1) if wall > 0 else None,
+        }
     else:
         from logparser_ray.sources.shards import read_parquet_shards
 

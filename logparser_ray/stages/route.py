@@ -30,13 +30,24 @@ SINK_KEYS = ["role", "tool", "template_id"]
 SALT_COL = "_salt"
 
 
-def add_salt(ds, *, on: str = "conv_id", num_salts: int = 8):
-    """Append ``_salt = hash64(on) % num_salts`` (vectorized, stable)."""
+def add_salt(ds, *, on: tuple[str, ...] = ("conv_id", "turn_idx"), num_salts: int = 8):
+    """Append a ROW-level ``_salt = hash64(on...) % num_salts`` column.
+
+    The salt must vary WITHIN a hot key or it cannot split that key across
+    reducers — so it hashes the key PLUS a within-key discriminator
+    (``turn_idx`` here; any row-varying column works). Deterministic and
+    stable across runs/partitionings (vectorized pandas hash)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        vals = batch[on].combine_chunks().to_numpy(zero_copy_only=False)
-        h = pd.util.hash_array(vals, hash_key="rayparse-salt-01") % num_salts
-        return batch.append_column(SALT_COL, pa.array(h.astype(np.int32)))
+        h = np.zeros(len(batch), dtype=np.uint64)
+        for col in on:
+            vals = batch[col].combine_chunks().to_numpy(zero_copy_only=False)
+            h = h * np.uint64(1099511628211) + pd.util.hash_array(
+                np.asarray(vals), hash_key="rayparse-salt-01"
+            )
+        return batch.append_column(
+            SALT_COL, pa.array((h % num_salts).astype(np.int32))
+        )
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -52,8 +63,15 @@ def route_repartition(
 ):
     """Explicit hash-partitioned shuffle on the sink key (+ salt when skewed).
 
-    Returns a dataset whose blocks are co-located by sink key, salt dropped.
+    Returns a dataset whose blocks are co-located by sink key — salted, a
+    hot key's rows split across ≤ ``num_salts`` reducers instead of
+    crushing one (BASELINE.json:6 hot conv_id skew); the salt column is
+    dropped after the exchange. Requires (and flips) the root dataset's
+    shuffle strategy to HASH_SHUFFLE for the key-based repartition.
     """
+    from ray.data.context import ShuffleStrategy
+
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     keys = list(keys or SINK_KEYS)
     if salted:
         ds = add_salt(ds, num_salts=num_salts)

@@ -237,3 +237,39 @@ def test_audit_fragment_validates_and_detects_tamper(run):
         _json.dump(doc, fh)
     res = audit_fragment(out, frags[0])
     assert not res["ok"] and res["mismatches"]
+
+
+def test_salted_route_repartition_colocates_and_conserves(ray_session):
+    """R1: the explicit salted hash-partition shuffle — rows conserved, each
+    (conv_id) key lands in at most num_salts blocks (hot keys split), and
+    unsalted each key lands whole in exactly one block."""
+    import ray
+
+    from logparser_ray.stages.route import route_repartition
+
+    tdir, _ = fixtures.ensure_transcripts(N, seed=SEED)
+
+    def block_spread(salted):
+        ds = ray.data.read_parquet(tdir)
+        out = route_repartition(
+            ds, keys=["conv_id"], num_blocks=8, salted=salted, num_salts=4
+        )
+        spread = {}
+        total = 0
+        for i, ref in enumerate(out.to_arrow_refs()):
+            tbl = ray.get(ref)
+            total += tbl.num_rows
+            for cid in set(tbl["conv_id"].to_pylist()):
+                spread.setdefault(cid, set()).add(i)
+        return spread, total
+
+    spread_salted, total_salted = block_spread(True)
+    assert total_salted == N
+    assert max(len(v) for v in spread_salted.values()) <= 4
+    # the hot conv (zipf head) actually DOES use multiple blocks when salted
+    hot = max(spread_salted, key=lambda c: len(spread_salted[c]))
+    assert len(spread_salted[hot]) >= 2
+
+    spread_plain, total_plain = block_spread(False)
+    assert total_plain == N
+    assert max(len(v) for v in spread_plain.values()) == 1
