@@ -166,6 +166,10 @@ class CompiledBank:
     Compile once (driver or actor ``__init__``), apply per batch.
     """
 
+    # below this bank size the flat first-match-wins scan beats the
+    # token-count trie (prune bookkeeping costs more than the extra passes)
+    TRIE_MIN_TEMPLATES = 24
+
     def __init__(self, bank: PatternBank):
         self.bank = bank
         self.templates = list(bank.templates)
@@ -179,6 +183,43 @@ class CompiledBank:
         self._n_slots = np.array(
             [t.n_slots for t in self.templates] + [0], dtype=np.int64
         )
+        # level-1 pattern trie (the north star's "ordered pattern-trie"):
+        # an anchored token template can ONLY match texts with exactly its
+        # token count, so candidates group by n_tokens — exact pruning,
+        # first-match-wins order preserved within each group
+        self._by_ntok: dict[int, list[int]] = {}
+        for i, t in enumerate(self.templates):
+            self._by_ntok.setdefault(t.n_tokens, []).append(i)
+
+    def _match_indices_flat(self, texts: pa.Array, matched, unmatched) -> None:
+        for i, rx in enumerate(self._regexes):
+            if not unmatched.any():
+                break
+            m = pc.match_substring_regex(texts, rx)
+            m = np.asarray(m.fill_null(False)) & unmatched
+            matched[m] = i
+            unmatched &= ~m
+
+    def _match_indices_trie(self, texts: pa.Array, matched, unmatched) -> None:
+        ntok = np.asarray(
+            pc.count_substring_regex(texts, r"\S+").fill_null(-1),
+            dtype=np.int64,
+        )
+        for k, idxs in self._by_ntok.items():
+            rows = np.flatnonzero((ntok == k) & unmatched)
+            if rows.size == 0:
+                continue
+            sub = texts.take(pa.array(rows))
+            un = np.ones(rows.size, dtype=bool)
+            for i in idxs:
+                if not un.any():
+                    break
+                m = np.asarray(
+                    pc.match_substring_regex(sub, self._regexes[i]).fill_null(False)
+                ) & un
+                matched[rows[m]] = i
+                un &= ~m
+        unmatched &= matched == len(self.templates)
 
     def match_array(self, texts: pa.Array | pa.ChunkedArray):
         """Return ``(template_id, template, params)`` Arrow arrays for texts.
@@ -194,13 +235,10 @@ class CompiledBank:
         unmatched = np.ones(n, dtype=bool)
         if texts.null_count:
             unmatched &= ~np.asarray(texts.is_null())
-        for i, rx in enumerate(self._regexes):
-            if not unmatched.any():
-                break
-            m = pc.match_substring_regex(texts, rx)
-            m = np.asarray(m.fill_null(False)) & unmatched
-            matched[m] = i
-            unmatched &= ~m
+        if len(self.templates) >= self.TRIE_MIN_TEMPLATES:
+            self._match_indices_trie(texts, matched, unmatched)
+        else:
+            self._match_indices_flat(texts, matched, unmatched)
 
         template_id = pa.array(self._ids[matched], type=pa.string())
         template = pa.array(self._strings[matched], type=pa.string())

@@ -86,3 +86,43 @@ def test_property_parse_render_roundtrip():
     tid, tmpl, params = cb.match_array(pa.array(texts))
     assert tmpl.to_pylist() == [t.template for t in bank]
     assert params.to_pylist() == want_params
+
+
+def test_trie_match_identical_to_flat_on_large_bank():
+    """The n_tokens-pruned trie path (used for banks ≥ TRIE_MIN_TEMPLATES)
+    must be byte-identical to the flat first-match-wins scan — token-count
+    pruning is exact for anchored token templates."""
+    import random
+
+    import pyarrow as pa
+
+    from logparser_ray.core.bank import CompiledBank, PatternBank, Template
+
+    rng = random.Random(3)
+    words = ["alpha", "beta", "gamma", "node", "disk", "net", "cpu", "err"]
+    templates = []
+    for i in range(40):
+        n = rng.randint(3, 7)
+        toks = [rng.choice(words + ["<*>"]) for _ in range(n)]
+        toks[0] = rng.choice(words)
+        templates.append(" ".join(toks))
+    bank = PatternBank(
+        [Template.from_string(t, i) for i, t in enumerate(templates)]
+    ).dedup()
+    assert len(bank) >= CompiledBank.TRIE_MIN_TEMPLATES
+
+    texts = []
+    for _ in range(5_000):
+        t = templates[rng.randrange(len(templates))]
+        texts.append(
+            " ".join(rng.choice(words) if x == "<*>" else x for x in t.split())
+        )
+    texts += ["no such shape at all", "", "one"]
+    arr = pa.array(texts, pa.string())
+
+    trie = bank.compile()
+    flat = bank.compile()
+    flat.TRIE_MIN_TEMPLATES = 10**9  # force the flat path
+    id_t, s_t, p_t = trie.match_array(arr)
+    id_f, s_f, p_f = flat.match_array(arr)
+    assert id_t.equals(id_f) and s_t.equals(s_f) and p_t.equals(p_f)
