@@ -448,6 +448,49 @@ def q_events_sessionize(sf_dir: str):
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
 
 
+def q_events_avg_gap(sf_dir: str):
+    """Lag-window op: per user, count and total seconds of gaps between
+    consecutive events (ts order, event_id tiebreak) — integer-exact."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff().dt.total_seconds().dropna()
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_gaps": [int(len(gaps))],
+                # floor each gap BEFORE summing (identical to the SQL side —
+                # summing floats then truncating drifts by the fraction sum)
+                "sum_gap_s": [int(np.floor(gaps).sum())],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def q_transcripts_conv_text_hash(sf_dir: str):
+    """O1 conformance: per-conversation md5 over texts in (turn_idx) order —
+    byte-level proof that per-turn text order is preserved end to end."""
+    import hashlib
+
+    tdir, _ = fixtures.ensure_transcripts(min(_turns_for(sf_dir), 60_000))
+    ds = ray.data.read_parquet(tdir, columns=["conv_id", "turn_idx", "text"])
+
+    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("turn_idx")
+        h = hashlib.md5("\n".join(g["text"]).encode()).hexdigest()[:16]
+        return pd.DataFrame(
+            {
+                "conv_id": [g["conv_id"].iloc[0]],
+                "n_turns": [len(g)],
+                "text_hash": [h],
+            }
+        )
+
+    return ds.groupby("conv_id").map_groups(per_conv, batch_format="pandas")
+
+
 def q_docs_quality_by_lang(sf_dir: str):
     """Stopword-ratio quality score aggregated per lang (SQL-checkable)."""
     ds = _read(sf_dir, "documents", columns=["lang", "text"])
@@ -741,6 +784,7 @@ QUERIES = {
     "events_json_k": q_events_json_k,
     "events_filter": q_events_filter,
     "events_sessionize": q_events_sessionize,
+    "events_avg_gap": q_events_avg_gap,
     "docs_regex_route": q_docs_regex_route,
     "docs_token_counts": q_docs_token_counts,
     "docs_word_freq_topk": q_docs_word_freq_topk,
@@ -762,6 +806,7 @@ QUERIES = {
     "transcripts_sink_counts": q_transcripts_sink_counts,
     "transcripts_templates": q_transcripts_templates,
     "transcripts_structured": q_transcripts_structured,
+    "transcripts_conv_text_hash": q_transcripts_conv_text_hash,
     "rawlog_structured": q_rawlog_structured,
     "docs_unigram_near_dupes": q_docs_unigram_near_dupes,
     "docs_simhash_clusters": q_docs_simhash_clusters,
@@ -812,6 +857,13 @@ ORACLE = {
         "    epoch(ts - prev_ts) > 1800 THEN 1 ELSE 0 END AS is_new FROM ("
         "    SELECT user_id, ts, lag(ts) OVER "
         "      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events)) "
+        "GROUP BY user_id"
+    ),
+    "events_avg_gap": (
+        "SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps, "
+        "CAST(COALESCE(sum(CAST(floor(gap) AS BIGINT)), 0) AS BIGINT) AS sum_gap_s FROM ("
+        "  SELECT user_id, epoch(ts - lag(ts) OVER "
+        "    (PARTITION BY user_id ORDER BY ts, event_id)) AS gap FROM events) "
         "GROUP BY user_id"
     ),
     "docs_regex_route": (

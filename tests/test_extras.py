@@ -218,3 +218,23 @@ def test_ivf_kmeans_and_search(ray_session):
         if vid in exact_map:
             assert exact_map[vid] == cos
     assert exact["vec_id"].iloc[0] in set(approx["vec_id"])
+
+
+def test_conv_text_hash_matches_golden_order(ray_session):
+    """O1: per-conv ordered text hash equals one computed from the golden
+    table sorted by (conv_id, turn_idx)."""
+    import hashlib
+
+    from logparser_ray.queries import q_transcripts_conv_text_hash
+
+    got = q_transcripts_conv_text_hash("/root/testdata/sf0.001").to_pandas()
+    tbl, _ = fixtures.make_transcripts(n_turns=6_000)
+    df = tbl.to_pandas().sort_values(["conv_id", "turn_idx"])
+    want = (
+        df.groupby("conv_id")["text"]
+        .apply(lambda s: hashlib.md5("\n".join(s).encode()).hexdigest()[:16])
+        .reset_index(name="text_hash")
+    )
+    merged = got.merge(want, on="conv_id", suffixes=("", "_want"))
+    assert len(merged) == len(want)
+    assert (merged["text_hash"] == merged["text_hash_want"]).all()
