@@ -197,15 +197,28 @@ def run_scaling_child(ncpu: int, n_turns: int, reps: int = 3) -> None:
 def run_scaling() -> dict:
     """Same routed job at two parallelism levels in fresh, CPU-pinned
     processes (the sandbox stand-in for N vs 4N nodes; see BASELINE.md)."""
+    # pre-generate the fixture in THIS unpinned process: a cold cache inside
+    # a 4-cpu-pinned child would serialize the chunk-parallel generation
+    from logparser_ray import fixtures
+
+    fixtures.ensure_transcripts(SCALING_TURNS)
+    fixtures.ensure_transcripts(200_000)
 
     def run(ncpu: int) -> dict:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scaling-child", str(ncpu)],
-            capture_output=True,
-            text=True,
-            check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        for attempt in (1, 2):  # one retry absorbs a flaky child
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--scaling-child",
+                    str(ncpu),
+                ],
+                capture_output=True,
+                text=True,
+            )
+            if proc.returncode == 0:
+                return json.loads(proc.stdout.strip().splitlines()[-1])
+        raise RuntimeError(f"scaling child ncpu={ncpu} failed:\n{proc.stderr[-2000:]}")
 
     pairs = {}
     results = {n: run(n) for n in (4, 8, 16, 32)}
