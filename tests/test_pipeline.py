@@ -273,3 +273,59 @@ def test_salted_route_repartition_colocates_and_conserves(ray_session):
     spread_plain, total_plain = block_spread(False)
     assert total_plain == N
     assert max(len(v) for v in spread_plain.values()) == 1
+
+
+def test_pipeline_builder_steps_and_metrics(ray_session):
+    """§2.8 plugin hook: declarative (name, fn_or_cls, options) steps."""
+    import ray
+
+    from logparser_ray.pipelines.builder import Pipeline
+    from logparser_ray.stages.parse import make_match_enrich_table_fn
+
+    table_fn = make_match_enrich_table_fn(
+        fixtures.pattern_bank(), fixtures.roles_dim(), fixtures.tools_dim(),
+        with_params=False,
+    )
+
+    class AddLen:
+        def __call__(self, batch):
+            import pyarrow.compute as pc
+
+            return batch.append_column("text_len", pc.utf8_length(batch["text"]))
+
+    pipe = Pipeline(
+        [
+            ("match_enrich", table_fn, {}),
+            ("textlen", AddLen, {"concurrency": (1, 2)}),
+        ]
+    )
+    tdir, _ = fixtures.ensure_transcripts(N, seed=SEED)
+    out = pipe(ray.data.read_parquet(tdir)).to_pandas()
+    assert len(out) == N
+    assert {"template_id", "role_class", "text_len"} <= set(out.columns)
+    desc = pipe.describe()
+    assert desc[0]["kind"] == "tasks" and desc[1]["kind"] == "actor_pool"
+
+
+def test_run_pipeline_cli(ray_session, tmp_path):
+    """The ray-job-submit entry point runs end to end with audit."""
+    import subprocess
+    import sys as _sys
+
+    tdir, _ = fixtures.ensure_transcripts(N, seed=SEED)
+    out = str(tmp_path / "cli_out")
+    proc = subprocess.run(
+        [
+            _sys.executable,
+            os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts", "run_pipeline.py"),
+            "--input", tdir, "--output", out, "--audit",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    import json as _json
+
+    rep = _json.loads(proc.stdout.strip().splitlines()[-1])
+    assert rep["ok"] and rep["metrics"]["rows_in"] == N
