@@ -5,18 +5,16 @@ Scale notes (the part that matters at 100 TB):
 - **Exact**: hash-partition on a content hash, keep first per group — one
   shuffle of (hash, id) pairs, not full rows.
 - **MinHash+LSH**: per-batch vectorized shingle→minhash signatures, explode
-  to (band_id, band_hash, doc_id) rows (``flat_map`` shape), groupby the
-  band bucket, emit candidate pairs per bucket, verify true n-gram Jaccard.
-  The verify step here broadcasts the (small) text column of candidate ids;
-  at 100 TB it would instead join candidate ids back against the corpus via
-  a hash-partitioned join — noted inline.
+  to (band_id, band_hash, doc_id) rows (``flat_map`` shape), hash-partition
+  by bucket, emit candidate pairs per bucket (vectorized per block), verify
+  exact n-gram Jaccard distributed with broadcast shingle-hash arrays. At
+  100 TB the broadcast becomes a hash-partitioned join of pairs against the
+  shingle table — noted inline.
 - **SimHash**: 64-bit signature from token hashes; exact-signature groups
   are dup clusters; near-dup via 16-bit band buckets + Hamming verify.
 """
 
 from __future__ import annotations
-
-import itertools
 
 import numpy as np
 import pandas as pd
@@ -105,14 +103,6 @@ class MinHasher:
         )
 
 
-def _pairs_from_bucket(g: pd.DataFrame) -> pd.DataFrame:
-    ids = np.unique(g["doc_id"].to_numpy())
-    if len(ids) < 2 or len(ids) > 200:  # cap pathological buckets; log via count col
-        return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
-    a, b = zip(*itertools.combinations(ids.tolist(), 2))
-    return pd.DataFrame({"a": np.array(a, np.int64), "b": np.array(b, np.int64)})
-
-
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     sa = set(zip(*[text_a.split(" ")[i:] for i in range(k)])) if text_a else set()
     sb = set(zip(*[text_b.split(" ")[i:] for i in range(k)])) if text_b else set()
@@ -134,13 +124,9 @@ def minhash_near_dupes(
     concurrency=None,
 ):
     """Full MinHash-LSH near-dup pipeline → pandas DataFrame of verified pairs
-    ``(a, b, jaccard)`` sorted by (a, b).
-
-    Candidate generation is fully distributed (map_batches → groupby). The
-    verify step fetches only the candidate docs' texts (semi-join via
-    broadcast id-set, then driver-side Jaccard on the small candidate set).
-    At 100 TB scale the verify would be a hash-partitioned join of the pair
-    list against the corpus — same semantics, noted per SURVEY.md J3.
+    ``(a, b, jaccard)`` sorted by (a, b). Candidate generation and the exact
+    Jaccard verify both run distributed; only the (small) pair list and
+    shingle-hash arrays of candidate docs touch the driver.
     """
     # candidate pairs: hash-partition the (band, bucket, doc) rows so each
     # bucket lands whole in one block, then ONE vectorized pyarrow group_by
