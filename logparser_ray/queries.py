@@ -203,6 +203,58 @@ def q_orders_customer_join(sf_dir: str):
     )
 
 
+def q_parts_by_type(sf_dir: str):
+    """part table: count + retail-price cents per p_type prefix word."""
+    ds = _read(sf_dir, "part", columns=["p_type", "p_retailprice"])
+
+    def agg(b: pa.Table) -> pa.Table:
+        prefix = pc.extract_regex(
+            b["p_type"].combine_chunks(), r"^(?P<w>\S+)"
+        ).field("w")
+        cents = np.floor(
+            b["p_retailprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        t = pa.table({"type_word": prefix, "price_cents": pa.array(cents)})
+        out = t.group_by(["type_word"]).aggregate(
+            [([], "count_all"), ("price_cents", "sum")]
+        )
+        return out.rename_columns(["type_word", "n_parts", "price_cents"])
+
+    from ray.data.aggregate import Sum
+
+    p = ds.map_batches(agg, batch_format="pyarrow", zero_copy_batch=True)
+    return p.groupby("type_word").aggregate(
+        Sum("n_parts", alias_name="n_parts"), Sum("price_cents", alias_name="price_cents")
+    )
+
+
+def q_suppliers_per_nation(sf_dir: str):
+    """supplier ⋈ nation broadcast lookup → counts per nation name."""
+    nation = pa.concat_tables(
+        [ray.get(r) for r in _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_arrow_refs()]
+    )
+    ref = ray.put(nation)
+    ds = _read(sf_dir, "supplier", columns=["s_nationkey"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        dim = ray.get(ref)
+        idx = pc.index_in(b["s_nationkey"], value_set=dim["n_nationkey"].combine_chunks())
+        return pa.table({"n_name": dim["n_name"].combine_chunks().take(idx)})
+
+    mapped = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_count(mapped, ["n_name"], alias="n_suppliers")
+
+
+def q_events_union_extremes(sf_dir: str):
+    """Dataset.union (SURVEY core op): error events ∪ high-value events,
+    counted per event_type (duplicates preserved — UNION ALL semantics)."""
+    base = _read(sf_dir, "events", columns=["event_type", "value"])
+    errors = base.filter(expr="event_type == 'error'")
+    high = base.filter(expr="value > 400.0")
+    u = errors.union(high)
+    return grouped_count(u, ["event_type"], alias="n")
+
+
 def q_lineitem_pricing(sf_dir: str):
     """TPC-H Q1-shaped grouped aggregate, integer-exact."""
     ds = _read(
@@ -800,6 +852,9 @@ QUERIES = {
     "top_orders_per_segment": q_top_orders_per_segment,
     "lineitem_pricing": q_lineitem_pricing,
     "nation_region_join": q_nation_region_join,
+    "parts_by_type": q_parts_by_type,
+    "suppliers_per_nation": q_suppliers_per_nation,
+    "events_union_extremes": q_events_union_extremes,
     "embeddings_knn": q_embeddings_knn,
     "embeddings_near_dupes": q_embeddings_near_dupes,
     # rows-only (non-SQL-expressible)
@@ -950,6 +1005,22 @@ ORACLE = {
     "nation_region_join": (
         "SELECT r.r_name, count(*) AS n_nations FROM nation n "
         "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name"
+    ),
+    "parts_by_type": (
+        "SELECT regexp_extract(p_type, '^(\\S+)', 1) AS type_word, "
+        "count(*) AS n_parts, "
+        "sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS price_cents "
+        "FROM part GROUP BY 1"
+    ),
+    "suppliers_per_nation": (
+        "SELECT n.n_name, count(*) AS n_suppliers FROM supplier s "
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey GROUP BY n.n_name"
+    ),
+    "events_union_extremes": (
+        "SELECT event_type, count(*) AS n FROM ("
+        "  SELECT event_type, value FROM events WHERE event_type = 'error' "
+        "  UNION ALL SELECT event_type, value FROM events WHERE value > 400) "
+        "GROUP BY event_type"
     ),
     "embeddings_knn": (
         "SELECT e.vec_id, CAST(floor(list_cosine_similarity("
