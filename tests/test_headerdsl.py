@@ -38,3 +38,54 @@ def test_vectorized_parse_and_quarantine():
         if not q:
             assert g == w
     assert any(gq), "fixture must contain malformed lines"
+
+
+def test_apache_style_format():
+    """Bracketed fields + literal punctuation (loghub Apache shape)."""
+    hf = HeaderFormat("[<Time>] [<Level>] <Content>")
+    d = hf.parse_line("[Sun Aug 17 04:05:06 2026] [error] mod_jk child init 1 -2")
+    assert d == {
+        "Time": "Sun Aug 17 04:05:06 2026",
+        "Level": "error",
+        "Content": "mod_jk child init 1 -2",
+    }
+
+
+def test_syslog_style_format():
+    """Month/day/time + host + process[pid] (loghub Linux/OpenSSH shape)."""
+    hf = HeaderFormat("<Month> <Date> <Time> <Host> <Component>(<PID>): <Content>")
+    d = hf.parse_line(
+        "Jun 14 15:16:01 combo sshd(pam_unix)(19939): session opened for user test"
+    )
+    assert d is not None
+    assert d["Month"] == "Jun" and d["Host"] == "combo"
+    assert d["Content"] == "session opened for user test"
+
+
+def test_windows_style_format():
+    """Comma-separated CBS-style fields (loghub Windows shape)."""
+    hf = HeaderFormat("<Date> <Time>, <Level>                  <Component>    <Content>")
+    d = hf.parse_line(
+        "2016-09-28 04:30:30, Info                  CBS    Loaded Servicing Stack"
+    )
+    assert d is not None
+    assert d["Level"] == "Info" and d["Component"] == "CBS"
+    assert d["Content"] == "Loaded Servicing Stack"
+
+
+def test_format_roundtrip_many_shapes():
+    """Property: render(fields) then parse returns the fields, across format
+    shapes with different separators."""
+    shapes = [
+        "<A> <B>: <C>",
+        "[<A>] <B> - <C>",
+        "<A>|<B>|<C>",
+        "<A> (<B>) <C>",
+    ]
+    for fmt in shapes:
+        hf = HeaderFormat(fmt)
+        rendered = (
+            fmt.replace("<A>", "x1").replace("<B>", "y2").replace("<C>", "z 3 w")
+        )
+        d = hf.parse_line(rendered)
+        assert d == {"A": "x1", "B": "y2", "C": "z 3 w"}, fmt
