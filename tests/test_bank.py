@@ -126,3 +126,60 @@ def test_trie_match_identical_to_flat_on_large_bank():
     id_t, s_t, p_t = trie.match_array(arr)
     id_f, s_f, p_f = flat.match_array(arr)
     assert id_t.equals(id_f) and s_t.equals(s_f) and p_t.equals(p_f)
+
+
+# -- property tests (SURVEY.md §5.2 #4) -------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_token = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x7F),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    tokens=st.lists(st.one_of(_token, st.just("<*>")), min_size=1, max_size=10),
+    fills=st.lists(_token, min_size=10, max_size=10),
+)
+def test_parse_render_roundtrip(tokens, fills):
+    """parse(render(template, params)) == (template, params) — the core
+    first-match-wins invariant over arbitrary token templates."""
+    import pyarrow as pa
+
+    from logparser_ray.core.bank import PatternBank, Template
+
+    t = Template(tuple(tokens), priority=0)
+    it = iter(fills)
+    rendered_toks = [next(it) if tok == "<*>" else tok for tok in tokens]
+    rendered = " ".join(rendered_toks)
+    cb = PatternBank([t]).compile()
+    tid, tmpl, params = cb.match_array(pa.array([rendered]))
+    assert tid[0].as_py() == t.template_id
+    expected_params = [f for tok, f in zip(tokens, rendered_toks) if tok == "<*>"]
+    assert params[0].as_py() == expected_params
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(_token, min_size=1, max_size=6).map(" ".join), min_size=1, max_size=40
+    )
+)
+def test_match_conserves_rows_and_fallthrough(texts):
+    """Count conservation: every row gets exactly one template_id; rows not
+    matching any bank entry land in _fallthrough, never dropped."""
+    import pyarrow as pa
+
+    from logparser_ray import fixtures
+    from logparser_ray.core.bank import FALLTHROUGH_ID
+
+    cb = fixtures.pattern_bank().compile()
+    tid, _, _ = cb.match_array(pa.array(texts, pa.string()))
+    assert len(tid) == len(texts)
+    ids = set(tid.to_pylist())
+    known = {t.template_id for t in fixtures.pattern_bank()} | {FALLTHROUGH_ID}
+    assert ids <= known
