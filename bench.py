@@ -25,14 +25,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
-# headline fixture sizes: sf0.1 runs 4.8M turns so the job is long enough
+# headline fixture sizes: sf0.1 runs 9.6M turns so the job is long enough
 # that steady-state compute (not per-pipeline startup) dominates — the same
 # reason the 100 TB run amortizes cluster spin-up
-TURNS_BY_SF = {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 4_800_000}
+TURNS_BY_SF = {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 9_600_000}
 
 
 def _turns() -> int:
-    return TURNS_BY_SF.get(os.path.basename(os.path.normpath(SF_DIR)), 4_800_000)
+    return TURNS_BY_SF.get(os.path.basename(os.path.normpath(SF_DIR)), 9_600_000)
 
 
 def run_bench() -> dict:
