@@ -338,6 +338,7 @@ class RoutedRunner:
                 receipt = {
                     "shard": sidx,
                     "input": path,
+                    "input_bytes": os.path.getsize(path),
                     "file": fname,
                     "rows_in": len(tbl),
                     "index": [[rel, rg, n] for rel, rg, n in index],
@@ -368,6 +369,18 @@ class RoutedRunner:
                 out[int(r["shard"])] = r
         return out
 
+    def _receipts_valid(self, frag_name: str, files: list[str]) -> bool:
+        receipts = self._load_receipts(frag_name)
+        for i, p in enumerate(files):
+            r = receipts.get(i)
+            if (
+                r is None
+                or r.get("input") != p
+                or r.get("input_bytes") != os.path.getsize(p)
+            ):
+                return False
+        return True
+
     def run_fragment(self, frag_name: str, input_files: list[str]) -> FragmentManifest:
         """Convenience: run a single fragment (fresh, no resume)."""
         manifests, _ = self.run({frag_name: input_files}, resume=False)
@@ -393,7 +406,15 @@ class RoutedRunner:
         todo: list[str] = []
         for name in sorted(fragments):
             prev = load_manifest(self.out_root, name) if resume else None
-            if prev is not None and prev.status == "done":
+            # a manifest only vouches for the EXACT input set it recorded —
+            # if the fragment's file list OR any file's bytes changed (per
+            # the shard receipts), it must re-run
+            if (
+                prev is not None
+                and prev.status == "done"
+                and prev.input_files == sorted(fragments[name])
+                and self._receipts_valid(name, sorted(fragments[name]))
+            ):
                 done[name] = prev
             else:
                 todo.append(name)
@@ -409,11 +430,15 @@ class RoutedRunner:
             if not resume and os.path.exists(frag_dir):
                 shutil.rmtree(frag_dir)  # fresh run of this fragment
             os.makedirs(frag_dir, exist_ok=True)
-            # drop receipts whose recorded input no longer matches (input
-            # set changed between runs) — their shard re-runs
+            # drop receipts whose recorded input no longer matches (path or
+            # size changed between runs) — their shard re-runs
             for i, p in enumerate(files):
                 r = receipts.get(i)
-                if r is not None and r.get("input") == p:
+                if (
+                    r is not None
+                    and r.get("input") == p
+                    and r.get("input_bytes") == os.path.getsize(p)
+                ):
                     continue
                 items.append(
                     {"path": p, "shard": i, "frag": name, "frag_dir": frag_dir}

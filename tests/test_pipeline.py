@@ -329,3 +329,37 @@ def test_run_pipeline_cli(ray_session, tmp_path):
 
     rep = _json.loads(proc.stdout.strip().splitlines()[-1])
     assert rep["ok"] and rep["metrics"]["rows_in"] == N
+
+
+def test_resume_detects_changed_inputs(ray_session, tmp_path):
+    """A done manifest must not be trusted if the fragment's input set or an
+    input file's bytes changed — the fragment re-runs and counts update."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    from logparser_ray.state.manifest import RoutedRunner
+    from logparser_ray.stages.parse import make_match_enrich_table_fn
+
+    transcripts, _ = fixtures.make_transcripts(n_turns=1_000, seed=23)
+    indir = tmp_path / "in"
+    os.makedirs(indir)
+    p1, p2 = str(indir / "a.parquet"), str(indir / "b.parquet")
+    _pq.write_table(transcripts.slice(0, 500), p1)
+    _pq.write_table(transcripts.slice(500, 500), p2)
+
+    table_fn = make_match_enrich_table_fn(
+        fixtures.pattern_bank(), fixtures.roles_dim(), fixtures.tools_dim(),
+        with_params=False,
+    )
+    out = str(tmp_path / "out")
+    runner = RoutedRunner(out, table_fn)
+    m1, sk1 = runner.run({"f": [p1]}, resume=True)
+    assert sk1 == 0 and m1[0].rows_written == 500
+
+    # same fragment name, different input set → must re-run, not skip
+    m2, sk2 = runner.run({"f": [p1, p2]}, resume=True)
+    assert sk2 == 0 and m2[0].rows_written == 1000
+
+    # rewrite one input with different bytes → its shard re-runs on resume
+    _pq.write_table(transcripts.slice(0, 400), p1)
+    m3, sk3 = runner.run({"f": [p1, p2]}, resume=True)
+    assert sk3 == 0 and m3[0].rows_written == 900
