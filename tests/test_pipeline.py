@@ -363,3 +363,24 @@ def test_resume_detects_changed_inputs(ray_session, tmp_path):
     _pq.write_table(transcripts.slice(0, 400), p1)
     m3, sk3 = runner.run({"f": [p1, p2]}, resume=True)
     assert sk3 == 0 and m3[0].rows_written == 900
+
+
+def test_flagship_60k_sink_counts_equal_golden(ray_session, tmp_path):
+    """Scale-up conformance: the full routed flagship at 60k turns still
+    reproduces the golden per-sink aggregate exactly (catches bugs that only
+    appear with many shards/fragments)."""
+    tdir, _ = fixtures.ensure_transcripts(60_000, seed=SEED)
+    _, golden = fixtures.make_transcripts(n_turns=60_000, seed=SEED)
+    out = str(tmp_path / "out60k")
+    res = flagship.run_flagship(tdir, out_dir=out, resume=False)
+    got = (
+        res["sink_counts"]
+        .to_pandas()
+        .sort_values(["role", "tool", "template_id"])
+        .reset_index(drop=True)
+    )
+    want = fixtures.golden_sink_counts(golden).to_pandas()
+    pd.testing.assert_frame_equal(
+        got[["role", "tool", "template_id", "n_turns"]], want, check_dtype=False
+    )
+    assert res["metrics"]["rows_in"] == 60_000
