@@ -543,6 +543,41 @@ def q_transcripts_conv_text_hash(sf_dir: str):
     return ds.groupby("conv_id").map_groups(per_conv, batch_format="pandas")
 
 
+def q_purchase_asof_click(sf_dir: str):
+    """As-of join (custom operator): each purchase event attached to the
+    user's latest STRICTLY-PRIOR click in (ts, event_id) order; returns
+    (purchase_id, click_id, gap_s) integer-exact."""
+    from logparser_ray.stages.joins import asof_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    clicks = ev.filter(expr="event_type == 'click'").drop_columns(["event_type"])
+
+    out = asof_join(
+        purchases,
+        clicks,
+        on="ts",
+        by="user_id",
+        tiebreak="event_id",
+        right_cols=["event_id", "ts"],
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_id_r"].notna()]
+        gap = np.floor(
+            (b["ts"] - b["ts_r"]).dt.total_seconds()
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "purchase_id": b["event_id"].astype(np.int64),
+                "click_id": b["event_id_r"].astype(np.int64),
+                "gap_s": gap,
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
 def q_docs_quality_by_lang(sf_dir: str):
     """Stopword-ratio quality score aggregated per lang (SQL-checkable)."""
     ds = _read(sf_dir, "documents", columns=["lang", "text"])
@@ -837,6 +872,7 @@ QUERIES = {
     "events_filter": q_events_filter,
     "events_sessionize": q_events_sessionize,
     "events_avg_gap": q_events_avg_gap,
+    "purchase_asof_click": q_purchase_asof_click,
     "docs_regex_route": q_docs_regex_route,
     "docs_token_counts": q_docs_token_counts,
     "docs_word_freq_topk": q_docs_word_freq_topk,
@@ -920,6 +956,18 @@ ORACLE = {
         "  SELECT user_id, epoch(ts - lag(ts) OVER "
         "    (PARTITION BY user_id ORDER BY ts, event_id)) AS gap FROM events) "
         "GROUP BY user_id"
+    ),
+    "purchase_asof_click": (
+        "SELECT purchase_id, click_id, gap_s FROM ("
+        "  SELECT event_id AS purchase_id, event_type, "
+        "  last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) "
+        "    OVER w AS click_id, "
+        "  CAST(floor(epoch(ts - last_value(CASE WHEN event_type = 'click' THEN ts END "
+        "    IGNORE NULLS) OVER w)) AS BIGINT) AS gap_s "
+        "  FROM events "
+        "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+        ") WHERE event_type = 'purchase' AND click_id IS NOT NULL"
     ),
     "docs_regex_route": (
         "SELECT CASE "

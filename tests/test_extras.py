@@ -238,3 +238,41 @@ def test_conv_text_hash_matches_golden_order(ray_session):
     merged = got.merge(want, on="conv_id", suffixes=("", "_want"))
     assert len(merged) == len(want)
     assert (merged["text_hash"] == merged["text_hash_want"]).all()
+
+
+def test_asof_join_strict_backward(ray_session):
+    """Hand-checked strict-backward as-of: latest right row strictly before
+    each left row in (ts, id) order, per key; no prior row → null."""
+    import pyarrow as pa
+    import ray
+
+    from logparser_ray.stages.joins import asof_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": ["a", "a", "a", "b"],
+        "ts": [10, 20, 20, 5],
+        "id": [100, 101, 103, 104],
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": ["a", "a", "a", "b"],
+        "ts": [10, 15, 20, 9],
+        "id": [1, 2, 102, 3],
+        "val": ["r10", "r15", "r20", "rb"],
+    }))
+    out = (
+        asof_join(left, right, on="ts", by="k", tiebreak="id",
+                  right_cols=["id", "val"])
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    # left(10,100): prior right = (10,1) since (10,1)<(10,100) → r10
+    # left(20,101): prior = (15,2)? no — (20,102)? (20,102) > (20,101)? yes
+    #               (20,102) sorts after (20,101) → latest strictly before
+    #               is (15,2) → r15
+    # left(20,103): (20,102) < (20,103) → r20
+    # left(5,104):  no right before in key b (9 > 5) → null
+    assert out.loc[0, "val_r"] == "r10"
+    assert out.loc[1, "val_r"] == "r15"
+    assert out.loc[2, "val_r"] == "r20"
+    assert pd.isna(out.loc[3, "val_r"])
