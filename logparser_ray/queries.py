@@ -543,6 +543,25 @@ def q_transcripts_conv_text_hash(sf_dir: str):
     return ds.groupby("conv_id").map_groups(per_conv, batch_format="pandas")
 
 
+def q_events_rolling_sum(sf_dir: str):
+    """Windowed aggregate (custom operator): per-user rolling sum of value
+    cents over the current + 2 preceding events in (ts, event_id) order."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        roll = pd.Series(cents).rolling(window=3, min_periods=1).sum().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "roll3_cents": roll.to_numpy(),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
 def q_purchase_asof_click(sf_dir: str):
     """As-of join (custom operator): each purchase event attached to the
     user's latest STRICTLY-PRIOR click in (ts, event_id) order; returns
@@ -873,6 +892,7 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_avg_gap": q_events_avg_gap,
     "purchase_asof_click": q_purchase_asof_click,
+    "events_rolling_sum": q_events_rolling_sum,
     "docs_regex_route": q_docs_regex_route,
     "docs_token_counts": q_docs_token_counts,
     "docs_word_freq_topk": q_docs_word_freq_topk,
@@ -956,6 +976,12 @@ ORACLE = {
         "  SELECT user_id, epoch(ts - lag(ts) OVER "
         "    (PARTITION BY user_id ORDER BY ts, event_id)) AS gap FROM events) "
         "GROUP BY user_id"
+    ),
+    "events_rolling_sum": (
+        "SELECT event_id, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) "
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll3_cents "
+        "FROM events"
     ),
     "purchase_asof_click": (
         "SELECT purchase_id, click_id, gap_s FROM ("
