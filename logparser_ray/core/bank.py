@@ -153,6 +153,31 @@ class PatternBank:
             ]
         )
 
+    def save(self, path: str) -> str:
+        """Persist the bank as Parquet (atomic) — a fitted bank is the
+        shareable artifact between fit jobs and match jobs."""
+        import os
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".", suffix=".tmp")
+        os.close(fd)
+        try:
+            pq.write_table(self.to_arrow(), tmp)
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+        return path
+
+    @classmethod
+    def load(cls, path: str) -> "PatternBank":
+        import pyarrow.parquet as pq
+
+        return cls.from_arrow(pq.read_table(path))
+
     def compile(self) -> "CompiledBank":
         return CompiledBank(self)
 

@@ -183,3 +183,17 @@ def test_match_conserves_rows_and_fallthrough(texts):
     ids = set(tid.to_pylist())
     known = {t.template_id for t in fixtures.pattern_bank()} | {FALLTHROUGH_ID}
     assert ids <= known
+
+
+def test_bank_save_load_roundtrip(tmp_path):
+    from logparser_ray import fixtures
+    from logparser_ray.core.bank import PatternBank
+
+    bank = fixtures.pattern_bank()
+    p = str(tmp_path / "bank.parquet")
+    bank.save(p)
+    loaded = PatternBank.load(p)
+    assert [(t.priority, t.template) for t in loaded] == [
+        (t.priority, t.template) for t in bank
+    ]
+    assert [t.template_id for t in loaded] == [t.template_id for t in bank]

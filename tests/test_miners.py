@@ -209,3 +209,11 @@ def test_shiso_logmine_scale_fit(ray_session, miner, params):
     mined = {t.template for t in bank}
     truth = {t.template for t in fixtures.pattern_bank()}
     assert len(mined & truth) >= 4
+
+
+def test_spell_conformance_mode_deterministic(ray_session):
+    ds = _transcripts_ds(ray_session)
+    b1 = mine.fit_bank(ds, "spell", params={"tau": 0.5}, mode="conformance")
+    b2 = mine.fit_bank(ds, "spell", params={"tau": 0.5}, mode="conformance")
+    assert [t.template for t in b1] == [t.template for t in b2]
+    assert _accuracy_of_bank(ray_session, b1) > 0.6
