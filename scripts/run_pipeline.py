@@ -35,6 +35,15 @@ def main() -> int:
     ap.add_argument("--no-params", dest="with_params", action="store_false")
     ap.add_argument("--files-per-fragment", type=int, default=16)
     ap.add_argument("--audit", action="store_true", help="verify manifests vs footers")
+    ap.add_argument(
+        "--bank", help="Parquet pattern-bank artifact to match with "
+        "(default: fit per --fit-miner and save to <output>/_bank.parquet)"
+    )
+    ap.add_argument(
+        "--fit-miner", default=None,
+        help="fit a bank first with this miner (e.g. drain, spell, shiso) "
+        "and save it next to the output",
+    )
     args = ap.parse_args()
 
     import ray
@@ -50,9 +59,24 @@ def main() -> int:
     from logparser_ray.pipelines import flagship
     from logparser_ray.state.manifest import audit_fragment
 
+    bank = None
+    if args.bank:
+        from logparser_ray.core.bank import PatternBank
+
+        bank = PatternBank.load(args.bank)
+    elif args.fit_miner:
+        # fit job → bank artifact → match job (the two-phase deployment flow)
+        from logparser_ray.stages.mine import fit_bank
+
+        ds = ray.data.read_parquet(args.input)
+        bank = fit_bank(ds, args.fit_miner)
+        os.makedirs(args.output, exist_ok=True)
+        bank.save(os.path.join(args.output, "_bank.parquet"))
+
     res = flagship.run_flagship(
         args.input,
         out_dir=args.output,
+        bank=bank,
         resume=args.resume,
         layout=args.layout,
         with_params=args.with_params,
