@@ -54,6 +54,13 @@ def test_drain_compat_demo_shape(ray_session, logdir, tmp_path):
         ("SLCT", {"support": 10}),
         ("LogCluster", {"rsupport": 3}),
         ("SHISO", {"maxChildNum": 8, "mergeThreshold": 0.15}),
+        ("LenMa", {"threshold": 0.9}),
+        ("LogMine", {"max_dist": 0.3}),
+        ("Logram", {"doubleThreshold": 10}),
+        ("LFA", {}),
+        ("LogSig", {"groupNum": 8}),
+        ("LKE", {"split_threshold": 0.3}),
+        ("AEL", {"mergePercent": 0.1}),
     ],
 )
 def test_other_algos_compat(ray_session, logdir, tmp_path, algo, kwargs):
