@@ -543,6 +543,30 @@ def q_transcripts_conv_text_hash(sf_dir: str):
     return ds.groupby("conv_id").map_groups(per_conv, batch_format="pandas")
 
 
+VALUE_BANDS = [
+    ("low", 0.0, 100.0),
+    ("mid", 100.0, 300.0),
+    ("high", 300.0, 1e12),
+]
+
+
+def q_events_value_bands(sf_dir: str):
+    """Range/interval join: events bucketed into value bands via the
+    broadcast interval join (lo <= v < hi), counted per band."""
+    from logparser_ray.stages.joins import interval_join
+
+    iv = pa.table(
+        {
+            "band": [b for b, _, _ in VALUE_BANDS],
+            "lo": [lo for _, lo, _ in VALUE_BANDS],
+            "hi": [hi for _, _, hi in VALUE_BANDS],
+        }
+    )
+    ds = _read(sf_dir, "events", columns=["value"])
+    joined = interval_join(ds, iv, value_col="value")
+    return grouped_count(joined, ["band"], alias="n")
+
+
 def q_events_rolling_sum(sf_dir: str):
     """Windowed aggregate (custom operator): per-user rolling sum of value
     cents over the current + 2 preceding events in (ts, event_id) order."""
@@ -893,6 +917,7 @@ QUERIES = {
     "events_avg_gap": q_events_avg_gap,
     "purchase_asof_click": q_purchase_asof_click,
     "events_rolling_sum": q_events_rolling_sum,
+    "events_value_bands": q_events_value_bands,
     "docs_regex_route": q_docs_regex_route,
     "docs_token_counts": q_docs_token_counts,
     "docs_word_freq_topk": q_docs_word_freq_topk,
@@ -976,6 +1001,12 @@ ORACLE = {
         "  SELECT user_id, epoch(ts - lag(ts) OVER "
         "    (PARTITION BY user_id ORDER BY ts, event_id)) AS gap FROM events) "
         "GROUP BY user_id"
+    ),
+    "events_value_bands": (
+        "SELECT b.band, count(*) AS n FROM events e JOIN (VALUES "
+        "('low', 0.0, 100.0), ('mid', 100.0, 300.0), ('high', 300.0, 1e12)"
+        ") AS b(band, lo, hi) ON e.value >= b.lo AND e.value < b.hi "
+        "GROUP BY b.band"
     ),
     "events_rolling_sum": (
         "SELECT event_id, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) "

@@ -62,3 +62,50 @@ def asof_join(
         return res[~is_r].drop(columns=["_side"])
 
     return both.groupby(by).map_groups(per_key, batch_format="pandas")
+
+
+def interval_join(
+    ds,
+    intervals: "pa.Table",
+    *,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    carry_cols: list[str] | None = None,
+):
+    """Range join (SURVEY.md custom operators): attach to each row the
+    interval containing its value (``lo <= v < hi``).
+
+    Intervals must be non-overlapping; they are sorted and broadcast once
+    (``ray.put`` — interval tables are dimension-sized), and each batch does
+    ONE vectorized ``np.searchsorted`` — no shuffle at all, the
+    broadcast-small-side pattern. Rows outside every interval get nulls.
+    """
+    import ray
+
+    order = np.argsort(intervals[lo_col].to_numpy(zero_copy_only=False))
+    sorted_iv = intervals.take(pa.array(order))
+    lo = sorted_iv[lo_col].to_numpy(zero_copy_only=False)
+    hi = sorted_iv[hi_col].to_numpy(zero_copy_only=False)
+    if (lo[1:] < hi[:-1]).any():
+        raise ValueError("intervals overlap")
+    carry = carry_cols or [c for c in sorted_iv.column_names if c not in (lo_col, hi_col)]
+    ref = ray.put(sorted_iv)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        iv = ray.get(ref)
+        lo_v = iv[lo_col].to_numpy(zero_copy_only=False)
+        hi_v = iv[hi_col].to_numpy(zero_copy_only=False)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(lo_v, v, side="right") - 1
+        ok = (idx >= 0) & (v < hi_v[np.clip(idx, 0, len(hi_v) - 1)])
+        take = np.where(ok, idx, -1)
+        take_arr = pa.array(
+            np.where(take < 0, None, take).astype(object), pa.int64()
+        )
+        out = batch
+        for c in carry:
+            out = out.append_column(c, iv[c].combine_chunks().take(take_arr))
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
