@@ -384,3 +384,66 @@ def test_flagship_60k_sink_counts_equal_golden(ray_session, tmp_path):
         got[["role", "tool", "template_id", "n_turns"]], want, check_dtype=False
     )
     assert res["metrics"]["rows_in"] == 60_000
+
+
+def test_flagship_extreme_conv_skew(ray_session, tmp_path):
+    """80% of all turns in ONE conversation: the routed pipeline must still
+    reproduce exact counts (the fused shard design is skew-immune for the
+    write; the combiner absorbs skew for the aggregate)."""
+    import numpy as np
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    transcripts, golden = fixtures.make_transcripts(n_turns=4_000, seed=31)
+    # overwrite conv ids: 80% hot, rest spread
+    n = transcripts.num_rows
+    rng = np.random.default_rng(5)
+    hot = rng.random(n) < 0.8
+    cid = np.where(hot, "conv_hot", transcripts["conv_id"].to_numpy(zero_copy_only=False))
+    # keep (conv_id, turn_idx) unique: renumber turn_idx within new convs
+    import pandas as pd_
+
+    df = pd_.DataFrame({"cid": cid})
+    tidx = df.groupby("cid").cumcount().astype("int32")
+    skewed = (
+        transcripts.set_column(0, "conv_id", _pa.array(cid, _pa.string()))
+        .set_column(1, "turn_idx", _pa.array(tidx.to_numpy(), _pa.int32()))
+    )
+    indir = tmp_path / "in"
+    os.makedirs(indir)
+    files = []
+    for i in range(4):
+        p = str(indir / f"p{i}.parquet")
+        _pq.write_table(skewed.slice(i * 1000, 1000), p)
+        files.append(p)
+    out = str(tmp_path / "out")
+    res = flagship.run_flagship(str(indir), out_dir=out, resume=False, files_per_fragment=2)
+    sc = res["sink_counts"].to_pandas()
+    # counts keyed by (role, tool, template_id) are conv-agnostic → must
+    # equal the unskewed golden exactly
+    want = fixtures.golden_sink_counts(golden).to_pandas()
+    got = sc.sort_values(["role", "tool", "template_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["role", "tool", "template_id", "n_turns"]], want, check_dtype=False
+    )
+
+
+def test_error_paths(ray_session, tmp_path):
+    import pyarrow as _pa
+    import pytest as _pytest
+
+    from logparser_ray.stages.joins import interval_join
+    from logparser_ray.state.manifest import read_sink
+
+    iv = _pa.table({"band": ["a", "b"], "lo": [0.0, 5.0], "hi": [6.0, 10.0]})
+    import ray
+
+    ds = ray.data.range(3)
+    with _pytest.raises(ValueError, match="overlap"):
+        interval_join(ds, iv, value_col="id")
+
+    with _pytest.raises(KeyError):
+        tdir, _ = fixtures.ensure_transcripts(N, seed=SEED)
+        out = str(tmp_path / "rs")
+        flagship.run_flagship(tdir, out_dir=out, resume=False)
+        read_sink(out, {"role": "nope", "tool": "x", "template_id": "y"})
