@@ -84,6 +84,7 @@ def run_bench() -> dict:
     res2["sink_counts"].count()
     timings["flagship_aggregate"] = round(time.perf_counter() - t0, 3)
 
+    subprocess.run(["sync"])  # drain routed-write writeback before per-query timings
     for name in (
         "lineitem_pricing",
         "events_sessionize",

@@ -314,6 +314,7 @@ class RoutedRunner:
         table_fn = self.table_fn
         partition_cols = self.partition_cols
         drop_cols = self.drop_cols
+        layout_name = self.layout
         writer = write_packed_shard if self.layout == "packed" else write_hive_shard
 
         def shard_fn(batch: pa.Table) -> pa.Table:
@@ -339,6 +340,7 @@ class RoutedRunner:
                     "shard": sidx,
                     "input": path,
                     "input_bytes": os.path.getsize(path),
+                    "layout": layout_name,
                     "file": fname,
                     "rows_in": len(tbl),
                     "index": [[rel, rg, n] for rel, rg, n in index],
@@ -369,6 +371,25 @@ class RoutedRunner:
                 out[int(r["shard"])] = r
         return out
 
+    @staticmethod
+    def _clean_shard_outputs(frag_dir: str, receipt: dict) -> None:
+        """Remove a stale shard's data file(s) + receipt before re-running it."""
+        paths = []
+        if receipt.get("file"):
+            paths.append(os.path.join(frag_dir, receipt["file"]))
+        else:
+            shard_file = f"pack-s{int(receipt['shard']):05d}.parquet"
+            paths.extend(
+                os.path.join(frag_dir, rel, shard_file)
+                for rel, _rg, _n in receipt.get("index", [])
+            )
+        paths.append(
+            os.path.join(frag_dir, f".receipt-s{int(receipt['shard']):05d}.json")
+        )
+        for p in paths:
+            if os.path.exists(p):
+                os.unlink(p)
+
     def _receipts_valid(self, frag_name: str, files: list[str]) -> bool:
         receipts = self._load_receipts(frag_name)
         for i, p in enumerate(files):
@@ -377,6 +398,7 @@ class RoutedRunner:
                 r is None
                 or r.get("input") != p
                 or r.get("input_bytes") != os.path.getsize(p)
+                or r.get("layout") != self.layout
             ):
                 return False
         return True
@@ -412,6 +434,7 @@ class RoutedRunner:
             if (
                 prev is not None
                 and prev.status == "done"
+                and prev.extra.get("layout") == self.layout
                 and prev.input_files == sorted(fragments[name])
                 and self._receipts_valid(name, sorted(fragments[name]))
             ):
@@ -430,16 +453,21 @@ class RoutedRunner:
             if not resume and os.path.exists(frag_dir):
                 shutil.rmtree(frag_dir)  # fresh run of this fragment
             os.makedirs(frag_dir, exist_ok=True)
-            # drop receipts whose recorded input no longer matches (path or
-            # size changed between runs) — their shard re-runs
+            # drop receipts whose recorded input no longer matches (path,
+            # size, or layout changed between runs) — their shard re-runs,
+            # after its superseded outputs are removed (deterministic names
+            # only overwrite within the SAME layout)
             for i, p in enumerate(files):
                 r = receipts.get(i)
                 if (
                     r is not None
                     and r.get("input") == p
                     and r.get("input_bytes") == os.path.getsize(p)
+                    and r.get("layout") == self.layout
                 ):
                     continue
+                if r is not None:
+                    self._clean_shard_outputs(frag_dir, r)
                 items.append(
                     {"path": p, "shard": i, "frag": name, "frag_dir": frag_dir}
                 )

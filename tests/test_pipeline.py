@@ -447,3 +447,47 @@ def test_error_paths(ray_session, tmp_path):
         out = str(tmp_path / "rs")
         flagship.run_flagship(tdir, out_dir=out, resume=False)
         read_sink(out, {"role": "nope", "tool": "x", "template_id": "y"})
+
+
+def test_layout_switch_invalidates_resume(ray_session, tmp_path):
+    """Switching packed↔hive must re-run fragments, never reuse the other
+    layout's receipts/outputs."""
+    from logparser_ray.state.manifest import RoutedRunner
+    from logparser_ray.stages.parse import make_match_enrich_table_fn
+
+    tdir, _ = fixtures.ensure_transcripts(N, seed=SEED)
+    files = sorted(glob.glob(os.path.join(tdir, "*.parquet")))
+    table_fn = make_match_enrich_table_fn(
+        fixtures.pattern_bank(), fixtures.roles_dim(), fixtures.tools_dim(),
+        with_params=False,
+    )
+    out = str(tmp_path / "out")
+    m1, sk1 = RoutedRunner(out, table_fn, layout="packed").run({"f": files}, resume=True)
+    assert sk1 == 0 and m1[0].extra["layout"] == "packed"
+    m2, sk2 = RoutedRunner(out, table_fn, layout="hive").run({"f": files}, resume=True)
+    assert sk2 == 0, "layout change must not be skipped"
+    assert m2[0].extra["layout"] == "hive"
+    assert m2[0].rows_written == m1[0].rows_written
+
+
+def test_layout_switch_leaves_no_stale_files(ray_session, tmp_path):
+    from logparser_ray.state.manifest import RoutedRunner
+    from logparser_ray.stages.parse import make_match_enrich_table_fn
+
+    tdir, _ = fixtures.ensure_transcripts(N, seed=SEED)
+    files = sorted(glob.glob(os.path.join(tdir, "*.parquet")))
+    table_fn = make_match_enrich_table_fn(
+        fixtures.pattern_bank(), fixtures.roles_dim(), fixtures.tools_dim(),
+        with_params=False,
+    )
+    out = str(tmp_path / "out")
+    RoutedRunner(out, table_fn, layout="packed").run({"f": files}, resume=True)
+    RoutedRunner(out, table_fn, layout="hive").run({"f": files}, resume=True)
+    # no top-level pack files may remain after switching to hive
+    frag = os.path.join(out, "frag=f")
+    stale = [f for f in os.listdir(frag) if f.endswith(".parquet")]
+    assert stale == [], stale
+    # and total rows across hive files equal the input
+    hive_files = glob.glob(os.path.join(frag, "**", "*.parquet"), recursive=True)
+    total = sum(pq.read_metadata(f).num_rows for f in hive_files)
+    assert total == N
