@@ -491,3 +491,75 @@ def test_layout_switch_leaves_no_stale_files(ray_session, tmp_path):
     hive_files = glob.glob(os.path.join(frag, "**", "*.parquet"), recursive=True)
     total = sum(pq.read_metadata(f).num_rows for f in hive_files)
     assert total == N
+
+
+def test_sigkill_resume_exact_counts(ray_session, tmp_path):
+    """Hard-kill (SIGKILL) a subprocess running the job CLI mid-write, then
+    resume in-process: final per-sink counts must equal the golden exactly,
+    and any shard that completed before the kill is not rewritten."""
+    import signal
+    import subprocess
+    import sys as _sys
+    import time
+
+    tdir, _ = fixtures.ensure_transcripts(60_000, seed=SEED)
+    _, golden = fixtures.make_transcripts(n_turns=60_000, seed=SEED)
+    out = str(tmp_path / "out")
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "scripts", "run_pipeline.py"
+    )
+    proc = subprocess.Popen(
+        [_sys.executable, script, "--input", tdir, "--output", out],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    # let it get partway (ray startup ~5s + some shards), then SIGKILL
+    deadline = time.time() + 60
+    killed_mid_run = False
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            break  # finished before we killed — resume is then a no-op
+        receipts = []
+        if os.path.isdir(out):
+            for dp, _dn, fn in os.walk(out):
+                receipts += [f for f in fn if f.startswith(".receipt-")]
+        if receipts:
+            proc.send_signal(signal.SIGKILL)
+            killed_mid_run = True
+            break
+        time.sleep(0.25)
+    proc.wait(timeout=60)
+
+    # only receipt-backed files are guaranteed stable: a data file whose
+    # receipt hadn't committed at kill time legitimately re-runs
+    import json as _json
+
+    pre = {}
+    if os.path.isdir(out):
+        for dp, _dn, fn in os.walk(out):
+            for f in fn:
+                if f.startswith(".receipt-") and f.endswith(".json"):
+                    with open(os.path.join(dp, f)) as fh:
+                        r = _json.load(fh)
+                    if r.get("file"):
+                        p = os.path.join(dp, r["file"])
+                        if os.path.exists(p):
+                            pre[p] = os.path.getmtime(p)
+
+    res = flagship.run_flagship(tdir, out_dir=out, resume=True)
+    got = (
+        res["sink_counts"]
+        .to_pandas()
+        .sort_values(["role", "tool", "template_id"])
+        .reset_index(drop=True)
+    )
+    want = fixtures.golden_sink_counts(golden).to_pandas()
+    pd.testing.assert_frame_equal(
+        got[["role", "tool", "template_id", "n_turns"]], want, check_dtype=False
+    )
+    if killed_mid_run and pre:
+        # completed-before-kill shard files must be reused byte-identically
+        reused = [p for p in pre if os.path.exists(p)]
+        for p in reused:
+            assert os.path.getmtime(p) == pre[p], f"rewritten: {p}"
+        assert reused, "expected at least one pre-kill file to survive"
