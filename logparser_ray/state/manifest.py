@@ -453,6 +453,10 @@ class RoutedRunner:
             if not resume and os.path.exists(frag_dir):
                 shutil.rmtree(frag_dir)  # fresh run of this fragment
             os.makedirs(frag_dir, exist_ok=True)
+            # receipts beyond the current file list (fragment shrank) are
+            # stale — remove their outputs so no orphan rows linger on disk
+            for sidx in [s for s in receipts if s >= len(files)]:
+                self._clean_shard_outputs(frag_dir, receipts.pop(sidx))
             # drop receipts whose recorded input no longer matches (path,
             # size, or layout changed between runs) — their shard re-runs,
             # after its superseded outputs are removed (deterministic names

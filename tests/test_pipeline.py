@@ -563,3 +563,30 @@ def test_sigkill_resume_exact_counts(ray_session, tmp_path):
         for p in reused:
             assert os.path.getmtime(p) == pre[p], f"rewritten: {p}"
         assert reused, "expected at least one pre-kill file to survive"
+
+
+def test_shrunk_fragment_cleans_orphan_shards(ray_session, tmp_path):
+    """Removing an input file from a fragment must delete the removed
+    shard's outputs — total on-disk rows equal the new input exactly."""
+    import pyarrow.parquet as _pq
+    from logparser_ray.state.manifest import RoutedRunner
+    from logparser_ray.stages.parse import make_match_enrich_table_fn
+
+    transcripts, _ = fixtures.make_transcripts(n_turns=1_000, seed=29)
+    indir = tmp_path / "in"
+    os.makedirs(indir)
+    p1, p2 = str(indir / "a.parquet"), str(indir / "b.parquet")
+    _pq.write_table(transcripts.slice(0, 500), p1)
+    _pq.write_table(transcripts.slice(500, 500), p2)
+    table_fn = make_match_enrich_table_fn(
+        fixtures.pattern_bank(), fixtures.roles_dim(), fixtures.tools_dim(),
+        with_params=False,
+    )
+    out = str(tmp_path / "out")
+    runner = RoutedRunner(out, table_fn)
+    runner.run({"f": [p1, p2]}, resume=True)
+    m2, _ = runner.run({"f": [p1]}, resume=True)
+    assert m2[0].rows_written == 500
+    files = glob.glob(os.path.join(out, "frag=f", "**", "*.parquet"), recursive=True)
+    total = sum(_pq.read_metadata(f).num_rows for f in files)
+    assert total == 500, f"orphan rows on disk: {total}"
