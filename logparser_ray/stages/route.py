@@ -101,6 +101,8 @@ def pack_by_key(table: pa.Table, partition_cols: list[str]):
     (a hive-style relative path ``col=value/...``). One gather pass; no
     per-row Python.
     """
+    if table.num_rows == 0:
+        return table, [], np.zeros(0, np.int64), np.zeros(0, np.int64)
     key_cols = [table[c] for c in partition_cols]
     keys = (
         key_cols[0].combine_chunks()

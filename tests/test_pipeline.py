@@ -590,3 +590,37 @@ def test_shrunk_fragment_cleans_orphan_shards(ray_session, tmp_path):
     files = glob.glob(os.path.join(out, "frag=f", "**", "*.parquet"), recursive=True)
     total = sum(_pq.read_metadata(f).num_rows for f in files)
     assert total == 500, f"orphan rows on disk: {total}"
+
+
+def test_empty_shard_and_empty_batch(ray_session, tmp_path):
+    """Zero-row inputs must flow through the writers and matcher cleanly."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from logparser_ray.stages.parse import make_match_enrich_table_fn
+    from logparser_ray.stages.route import pack_by_key, write_packed_shard
+    from logparser_ray.state.manifest import RoutedRunner
+
+    transcripts, _ = fixtures.make_transcripts(n_turns=100, seed=3)
+    empty = transcripts.slice(0, 0)
+    # kernel level
+    cb = fixtures.pattern_bank().compile()
+    tid, _t, params = cb.match_array(empty["text"].combine_chunks())
+    assert len(tid) == 0 and len(params) == 0
+    st, rels, s, e = pack_by_key(transcripts.slice(0, 0), ["role", "tool"])
+    assert rels == []
+    idx = write_packed_shard(empty, str(tmp_path), "pack-s00000", ["role", "tool"])
+    assert idx == []
+    # end to end: a fragment containing one empty file alongside a real one
+    indir = tmp_path / "in"
+    os.makedirs(indir)
+    p1, p2 = str(indir / "a.parquet"), str(indir / "b.parquet")
+    _pq.write_table(transcripts, p1)
+    _pq.write_table(empty, p2)
+    table_fn = make_match_enrich_table_fn(
+        fixtures.pattern_bank(), fixtures.roles_dim(), fixtures.tools_dim(),
+        with_params=False,
+    )
+    out = str(tmp_path / "out")
+    m, _sk = RoutedRunner(out, table_fn).run({"f": [p1, p2]}, resume=False)
+    assert m[0].rows_in == 100 and m[0].rows_written == 100
