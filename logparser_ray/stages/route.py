@@ -103,13 +103,15 @@ def pack_by_key(table: pa.Table, partition_cols: list[str]):
     """
     if table.num_rows == 0:
         return table, [], np.zeros(0, np.int64), np.zeros(0, np.int64)
-    key_cols = [table[c] for c in partition_cols]
+    # null key values route as "" (the reference's empty-tool convention);
+    # the payload keeps the original nulls
+    key_cols = [
+        pc.fill_null(pc.cast(table[c], pa.string()), "") for c in partition_cols
+    ]
     keys = (
         key_cols[0].combine_chunks()
         if len(key_cols) == 1
-        else pc.binary_join_element_wise(
-            *[pc.cast(c, pa.string()) for c in key_cols], "\x00"
-        ).combine_chunks()
+        else pc.binary_join_element_wise(*key_cols, "\x00").combine_chunks()
     )
     enc = keys.dictionary_encode()
     idx = enc.indices.to_numpy(zero_copy_only=False)

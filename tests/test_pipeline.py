@@ -624,3 +624,21 @@ def test_empty_shard_and_empty_batch(ray_session, tmp_path):
     out = str(tmp_path / "out")
     m, _sk = RoutedRunner(out, table_fn).run({"f": [p1, p2]}, resume=False)
     assert m[0].rows_in == 100 and m[0].rows_written == 100
+
+
+def test_null_routing_key_routes_as_empty(ray_session, tmp_path):
+    import pyarrow as _pa
+
+    from logparser_ray.stages.route import write_packed_shard
+
+    t = _pa.table(
+        {
+            "role": ["user", None, "user"],
+            "tool": [None, "bash", "bash"],
+            "x": [1, 2, 3],
+        }
+    )
+    idx = write_packed_shard(t, str(tmp_path), "pack-s00000", ["role", "tool"])
+    rels = sorted(r for r, _rg, _n in idx)
+    assert rels == ["role=/tool=bash", "role=user/tool=", "role=user/tool=bash"]
+    assert sum(n for _r, _rg, n in idx) == 3
