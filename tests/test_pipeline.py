@@ -642,3 +642,14 @@ def test_null_routing_key_routes_as_empty(ray_session, tmp_path):
     rels = sorted(r for r, _rg, _n in idx)
     assert rels == ["role=/tool=bash", "role=user/tool=", "role=user/tool=bash"]
     assert sum(n for _r, _rg, n in idx) == 3
+
+
+def test_flagship_runs_are_deterministic(ray_session, tmp_path):
+    """Two fresh runs over the same input produce identical per-fragment
+    sink-count checksums — the determinism the exactly-once story rests on."""
+    tdir, _ = fixtures.ensure_transcripts(N, seed=SEED)
+    shas = []
+    for d in ("o1", "o2"):
+        res = flagship.run_flagship(tdir, out_dir=str(tmp_path / d), resume=False)
+        shas.append({m.fragment: m.sink_counts_sha256 for m in res["manifests"]})
+    assert shas[0] == shas[1]
