@@ -79,6 +79,7 @@ def run_bench() -> dict:
     timings["flagship_route_write"] = round(headline, 3)
 
     # aggregate-only variant (no routed write) — the pure streaming path
+    subprocess.run(["sync"])  # keep the routed write's flush out of this window
     t0 = time.perf_counter()
     res2 = flagship.run_flagship(tdir, out_dir=None)
     res2["sink_counts"].count()
