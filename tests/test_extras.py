@@ -276,3 +276,31 @@ def test_asof_join_strict_backward(ray_session):
     assert out.loc[1, "val_r"] == "r15"
     assert out.loc[2, "val_r"] == "r20"
     assert pd.isna(out.loc[3, "val_r"])
+
+
+def test_enrich_actor_pool_path(ray_session):
+    """The stateful actor-pool variant of the enrichment stage (north-star:
+    'dictionary lookup-enrichment hosted in a stateful actor pool') — dims
+    resolved once per actor in __init__, identical output to the task path."""
+    import ray
+
+    from logparser_ray.stages.enrich import enrich_stage
+    from logparser_ray.stages.parse import match_stage
+
+    tdir, _ = fixtures.ensure_transcripts(2_000)
+    base = match_stage(
+        ray.data.read_parquet(tdir), fixtures.pattern_bank(), with_params=False
+    )
+    pooled = enrich_stage(
+        base,
+        roles_dim=fixtures.roles_dim(),
+        tools_dim=fixtures.tools_dim(),
+        concurrency=(1, 2),
+    ).to_pandas()
+    tasked = enrich_stage(
+        base, roles_dim=fixtures.roles_dim(), tools_dim=fixtures.tools_dim()
+    ).to_pandas()
+    key = ["conv_id", "turn_idx"]
+    a = pooled.sort_values(key).reset_index(drop=True)
+    b = tasked.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
