@@ -83,3 +83,47 @@ def test_molfi_unavailable(logdir, tmp_path):
 
     with pytest.raises(NotImplementedError):
         MoLFI.LogParser(fixtures.RAWLOG_FORMAT, logdir, str(tmp_path))
+
+
+def test_apache_format_end_to_end(ray_session, tmp_path):
+    """A second log FORMAT (bracketed apache-style) through the whole compat
+    stack — proving the header DSL variety works end to end, not just at
+    parse_line level."""
+    import numpy as np
+
+    rng = np.random.default_rng(61)
+    levels = ["notice", "error", "warn"]
+    shapes = [
+        ("jk2_init() Found child {} in scoreboard slot {}", (9999, 50)),
+        ("workerEnv.init() ok /etc/httpd/conf/workers{}.properties", (9,)),
+        ("mod_jk child workerEnv in error state {}", (11,)),
+    ]
+    lines = []
+    for i in range(300):
+        tmpl, maxes = shapes[rng.integers(0, len(shapes))]
+        vals = [int(rng.integers(1, m)) for m in maxes]
+        content = tmpl.format(*vals)
+        lines.append(f"[Sun Aug 17 04:05:{i % 60:02d} 2026] [{levels[rng.integers(0,3)]}] {content}")
+    d = tmp_path / "logs"
+    os.makedirs(d)
+    with open(d / "apache.log", "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    from logparser_ray.compat import Drain
+
+    parser = Drain.LogParser(
+        "[<Time>] [<Level>] <Content>",
+        str(d),
+        str(tmp_path / "out"),
+        rex=[r"\d+"],
+        depth=4,
+        st=0.5,
+    )
+    parser.parse("apache.log")
+    s = pd.read_csv(tmp_path / "out" / "apache.log_structured.csv")
+    t = pd.read_csv(tmp_path / "out" / "apache.log_templates.csv")
+    assert len(s) == 300
+    assert set(s["Level"]) <= {"notice", "error", "warn"}
+    # three content shapes → three-ish templates (rex folds the numbers)
+    assert 3 <= len(t) <= 6
+    assert t["Occurrences"].sum() == 300
