@@ -51,6 +51,12 @@ def run_flagship(
     A *fragment* (the checkpoint/resume unit) bundles ``files_per_fragment``
     input shards; each shard is one fused read→parse→enrich→routed-write
     Ray task (see ``state.RoutedRunner`` for the layout trade-offs).
+
+    Incremental ingest: fragments are formed from the lexicographically
+    sorted file list, so appending new files that sort AFTER the existing
+    ones (the usual ``part-NNNN`` convention) leaves every full earlier
+    fragment's membership unchanged — a re-run with ``resume=True``
+    processes only the final partial fragment and the new ones.
     """
     from logparser_ray.stages.parse import make_match_enrich_table_fn
 
