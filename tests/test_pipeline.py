@@ -653,3 +653,29 @@ def test_flagship_runs_are_deterministic(ray_session, tmp_path):
         res = flagship.run_flagship(tdir, out_dir=str(tmp_path / d), resume=False)
         shas.append({m.fragment: m.sink_counts_sha256 for m in res["manifests"]})
     assert shas[0] == shas[1]
+
+
+def test_append_only_ingest_reprocesses_only_new_files(ray_session, tmp_path):
+    """Appending files that sort after the existing ones must leave earlier
+    full fragments untouched on resume (incremental ingest)."""
+    import pyarrow.parquet as _pq
+
+    transcripts, _ = fixtures.make_transcripts(n_turns=3_000, seed=37)
+    indir = tmp_path / "in"
+    os.makedirs(indir)
+    for i in range(4):
+        _pq.write_table(
+            transcripts.slice(i * 500, 500), str(indir / f"part-{i:04d}.parquet")
+        )
+    out = str(tmp_path / "out")
+    res1 = flagship.run_flagship(str(indir), out_dir=out, files_per_fragment=2)
+    assert res1["metrics"]["rows_in"] == 2_000
+
+    # append two files sorting AFTER the existing ones
+    for i in (4, 5):
+        _pq.write_table(
+            transcripts.slice(i * 500, 500), str(indir / f"part-{i:04d}.parquet")
+        )
+    res2 = flagship.run_flagship(str(indir), out_dir=out, files_per_fragment=2)
+    assert res2["metrics"]["rows_in"] == 3_000
+    assert res2["skipped"] == 2, "both earlier full fragments must be reused"
