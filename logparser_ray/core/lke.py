@@ -100,7 +100,10 @@ def lke_fit_seqs(seqs: list[list[str]], threshold: float = 0.3) -> PatternBank:
         for m in members[1:]:
             tmpl = [t if t == x else WILDCARD for t, x in zip(tmpl, m)]
         out.append((tmpl, len(members)))
-    out.sort(key=lambda tn: (-tn[1], " ".join(tn[0])))
+    # specificity-first priority (see logsig_fit_seqs)
+    out.sort(
+        key=lambda tn: (sum(1 for x in tn[0] if x == WILDCARD), -tn[1], " ".join(tn[0]))
+    )
     return PatternBank(
         [Template.from_string(" ".join(t), prio) for prio, (t, _) in enumerate(out)]
     ).dedup()

@@ -74,19 +74,22 @@ def logsig_cluster(
 
 
 def signatures(seqs: list[list[str]], labels: list[int]) -> list[tuple[list[str], int]]:
-    """Positional signature per (group, token count): tokens stable in ≥ half
-    the members stay; others → ``<*>``. Returns (template, size) pairs."""
+    """Positional signature per (group, token count): a position stays
+    constant only when its token is UNANIMOUS across the group; any
+    variation → ``<*>``. (A majority rule locks dominant variants as
+    constants and the signature then misses most of its own family — the
+    signature must cover every member, matching upstream's common-word-pair
+    construction.) Returns (template, size) pairs."""
     groups: dict[tuple[int, int], list[list[str]]] = defaultdict(list)
     for s, lab in zip(seqs, labels):
         groups[(lab, len(s))].append(s)
     out = []
     for (_lab, n), members in sorted(groups.items()):
-        half = len(members) / 2.0
         tmpl = []
         for pos in range(n):
             c = Counter(m[pos] for m in members)
             tok, cnt = c.most_common(1)[0]
-            tmpl.append(tok if cnt >= half else WILDCARD)
+            tmpl.append(tok if cnt == len(members) else WILDCARD)
         out.append((tmpl, len(members)))
     return out
 
@@ -96,7 +99,12 @@ def logsig_fit_seqs(
 ) -> PatternBank:
     labels = logsig_cluster(seqs, k=k, max_iters=max_iters)
     sigs = signatures(seqs, labels)
-    sigs.sort(key=lambda tn: (-tn[1], " ".join(tn[0])))
+    # first-match-wins priority: most SPECIFIC template first (fewest
+    # wildcards), then support — a wildcard-heavy signature placed early
+    # would swallow rows that belong to more specific groups
+    sigs.sort(
+        key=lambda tn: (sum(1 for x in tn[0] if x == WILDCARD), -tn[1], " ".join(tn[0]))
+    )
     return PatternBank(
         [Template.from_string(" ".join(t), prio) for prio, (t, _) in enumerate(sigs)]
     ).dedup()
