@@ -46,3 +46,12 @@ def test_dims():
     tools = fixtures.tools_dim()
     assert roles.num_rows == 4
     assert "ghost" not in tools["tool"].to_pylist()
+
+
+def test_driver_contract_registry_invariants():
+    """Every oracle has a query; names are unique and well-formed."""
+    from logparser_ray.queries import ORACLE, QUERIES
+
+    assert set(ORACLE) <= set(QUERIES), set(ORACLE) - set(QUERIES)
+    assert all(callable(v) for v in QUERIES.values())
+    assert all(isinstance(v, str) and "SELECT" in v.upper() for v in ORACLE.values())
