@@ -787,6 +787,62 @@ def _miner_query(fit):
     return q
 
 
+def _miner_union_query(fits: dict):
+    """Tagged union of several miner banks over the transcripts fixture —
+    one driver-audited entry covering each miner in ``fits`` (keeps every
+    miner inside the driver's 50-entry audit cap; per-miner semantics are
+    pinned by tests/test_miners.py and, for SLCT/LFA, by the SQL-oracled
+    ``docs_slct_templates``/``docs_lfa_templates`` entries)."""
+
+    def q(sf_dir: str):
+        tdir, _ = fixtures.ensure_transcripts(min(_turns_for(sf_dir), 60_000))
+        ds = ray.data.read_parquet(tdir)
+        parts = []
+        for name in sorted(fits):
+            t = fits[name](ds).to_arrow().select(
+                ["priority", "template_id", "template"]
+            )
+            parts.append(
+                t.add_column(0, "miner", pa.array([name] * t.num_rows, pa.string()))
+            )
+        return pa.concat_tables(parts)
+
+    return q
+
+
+def _bank_out(bank) -> pa.Table:
+    """Bank projection with SQL-reproducible columns/types (int64 priority)."""
+    t = bank.to_arrow()
+    return pa.table(
+        {
+            "priority": pc.cast(t["priority"], pa.int64()),
+            "template_id": t["template_id"],
+            "template": t["template"],
+        }
+    )
+
+
+def q_docs_slct_templates(sf_dir: str):
+    """SLCT (SURVEY.md A9) over the ``documents`` view, SQL-oracled: the
+    (position, word) support count → wildcard → template-count pipeline is
+    pure groupby-count + string reassembly, so DuckDB pins the semantics."""
+    from logparser_ray.stages.mine import slct_fit
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    n = ds.count()
+    support = max(2, (n + 249) // 250)  # ceil(n/250), ≥2 — scales with sf
+    return _bank_out(slct_fit(ds, support=support))
+
+
+def q_docs_lfa_templates(sf_dir: str):
+    """LFA (SURVEY.md A5) over ``documents``, SQL-oracled (498 templates at
+    sf0.01 — a rich independent check of the token-frequency miner)."""
+    from logparser_ray.stages.mine import lfa_fit
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return _bank_out(lfa_fit(ds))
+
+
 def _fit_drain(ds):
     from logparser_ray.stages.mine import fit_bank
 
@@ -938,6 +994,30 @@ QUERIES = {
     "events_union_extremes": q_events_union_extremes,
     "embeddings_knn": q_embeddings_knn,
     "embeddings_near_dupes": q_embeddings_near_dupes,
+    "docs_slct_templates": q_docs_slct_templates,
+    "docs_lfa_templates": q_docs_lfa_templates,
+    # miner fits over the transcripts fixture, consolidated into 4 tagged
+    # unions so all 13 miners run under the driver's 50-entry audit cap
+    # (rows-only: order-dependent/iterative, not SQL-expressible over views)
+    "miners_online": _miner_union_query(
+        {
+            "drain": _fit_drain,
+            "spell": _fit_spell,
+            "lenma": _fit_lenma,
+            "shiso": _fit_shiso,
+            "logmine": _fit_logmine,
+        }
+    ),
+    "miners_grouped": _miner_union_query({"iplom": _fit_iplom, "ael": _fit_ael}),
+    "miners_freq": _miner_union_query(
+        {
+            "slct": _fit_slct,
+            "logram": _fit_logram,
+            "lfa": _fit_lfa,
+            "logcluster": _fit_logcluster,
+        }
+    ),
+    "miners_sampled": _miner_union_query({"logsig": _fit_logsig, "lke": _fit_lke}),
     # rows-only (non-SQL-expressible)
     "transcripts_sink_counts": q_transcripts_sink_counts,
     "transcripts_templates": q_transcripts_templates,
@@ -947,28 +1027,17 @@ QUERIES = {
     "docs_unigram_near_dupes": q_docs_unigram_near_dupes,
     "docs_simhash_clusters": q_docs_simhash_clusters,
     "docs_langid": q_docs_langid,
+    "docs_fingerprints": q_docs_fingerprints,
     "embeddings_lsh_knn": q_embeddings_lsh_knn,
     "embeddings_ivf_knn": q_embeddings_ivf_knn,
     "embeddings_near_dupes_lsh": q_embeddings_near_dupes_lsh,
-    "docs_fingerprints": q_docs_fingerprints,
     "media_features": q_media_features,
-    "evaluator_fixture": q_evaluator_fixture,
     "evaluator_drain": q_evaluator_drain,
-    # miner fits (rows-only: order-dependent/iterative, not SQL-expressible)
-    "drain_templates": _miner_query(_fit_drain),
-    "spell_templates": _miner_query(_fit_spell),
-    "lenma_templates": _miner_query(_fit_lenma),
-    "slct_templates": _miner_query(_fit_slct),
-    "logram_templates": _miner_query(_fit_logram),
-    "lfa_templates": _miner_query(_fit_lfa),
-    "iplom_templates": _miner_query(_fit_iplom),
-    "ael_templates": _miner_query(_fit_ael),
-    "shiso_templates": _miner_query(_fit_shiso),
-    "logmine_templates": _miner_query(_fit_logmine),
-    "logcluster_templates": _miner_query(_fit_logcluster),
-    "logsig_templates": _miner_query(_fit_logsig),
-    "lke_templates": _miner_query(_fit_lke),
+    # evaluator_fixture is pytest-owned (tests/test_extras.py) — not
+    # registered, to stay under the driver's 50-entry audit cap
 }
+
+assert len(QUERIES) <= 50, "driver audits only the first 50 registry entries"
 
 _STOPLIST_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
@@ -980,7 +1049,7 @@ ORACLE = {
     ),
     "events_json_k": (
         "SELECT CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) // 10 AS k_bucket, "
-        "count(*) AS n, sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_cents "
+        "count(*) AS n, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents "
         "FROM events GROUP BY 1"
     ),
     "events_filter": (
@@ -1046,7 +1115,7 @@ ORACLE = {
         "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text"
     ),
     "docs_lang_stats": (
-        "SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars, "
+        "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
         "max(n_chars) AS max_chars FROM documents GROUP BY lang"
     ),
     "docs_quality_by_lang": (
@@ -1062,7 +1131,7 @@ ORACLE = {
     ),
     "orders_customer_join": (
         "SELECT c.c_mktsegment, count(*) AS n_orders, "
-        "sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS revenue_cents "
+        "CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents "
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
         "GROUP BY c.c_mktsegment"
     ),
@@ -1076,7 +1145,7 @@ ORACLE = {
     ),
     "revenue_by_nation": (
         "SELECT n.n_name, "
-        "sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) "
+        "CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) "
         "AS revenue_cents, count(*) AS n_items "
         "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
         "JOIN customer c ON o.o_custkey = c.c_custkey "
@@ -1089,7 +1158,7 @@ ORACLE = {
     ),
     "orders_monthly": (
         "SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders, "
-        "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS revenue_cents "
+        "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents "
         "FROM orders GROUP BY 1"
     ),
     "top_orders_per_segment": (
@@ -1102,8 +1171,8 @@ ORACLE = {
         "WHERE rn <= 3"
     ),
     "lineitem_pricing": (
-        "SELECT l_returnflag, l_linestatus, sum(CAST(l_quantity AS BIGINT)) AS sum_qty, "
-        "sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) "
+        "SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+        "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) "
         "AS revenue_cents, count(*) AS n "
         "FROM lineitem GROUP BY l_returnflag, l_linestatus"
     ),
@@ -1114,7 +1183,7 @@ ORACLE = {
     "parts_by_type": (
         "SELECT regexp_extract(p_type, '^(\\S+)', 1) AS type_word, "
         "count(*) AS n_parts, "
-        "sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS price_cents "
+        "CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents "
         "FROM part GROUP BY 1"
     ),
     "suppliers_per_nation": (
@@ -1133,6 +1202,42 @@ ORACLE = {
         "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
         ") * 10000 + 0.5) AS BIGINT) AS cos_bp "
         "FROM embeddings e ORDER BY cos_bp DESC, e.vec_id ASC LIMIT 5"
+    ),
+    "docs_slct_templates": (
+        "WITH docs AS (SELECT row_number() OVER () AS rid, "
+        "  string_split(text, ' ') AS toks FROM documents), "
+        "sup AS (SELECT greatest(2, CAST((count(*) + 249) // 250 AS BIGINT)) AS s "
+        "  FROM documents), "
+        "flat AS (SELECT rid, len(toks) AS ntok, unnest(toks) AS tok, "
+        "  generate_subscripts(toks, 1) AS pos FROM docs), "
+        "freq AS (SELECT ntok, pos, tok FROM flat GROUP BY ntok, pos, tok "
+        "  HAVING count(*) >= (SELECT s FROM sup)), "
+        "tmpl AS (SELECT flat.rid, string_agg(CASE WHEN f.tok IS NOT NULL "
+        "  THEN flat.tok ELSE '<*>' END, ' ' ORDER BY flat.pos) AS template "
+        "  FROM flat LEFT JOIN freq f ON flat.ntok = f.ntok "
+        "  AND flat.pos = f.pos AND flat.tok = f.tok GROUP BY flat.rid), "
+        "banks AS (SELECT template, count(*) AS n FROM tmpl GROUP BY template "
+        "  HAVING count(*) >= (SELECT s FROM sup)) "
+        "SELECT CAST(row_number() OVER (ORDER BY n DESC, template ASC) - 1 "
+        "  AS BIGINT) AS priority, "
+        "substring(md5(template), 1, 8) AS template_id, template FROM banks"
+    ),
+    "docs_lfa_templates": (
+        "WITH docs AS (SELECT row_number() OVER () AS rid, "
+        "  string_split(text, ' ') AS toks FROM documents), "
+        "flat AS (SELECT rid, unnest(toks) AS tok, "
+        "  generate_subscripts(toks, 1) AS pos FROM docs), "
+        "freq AS (SELECT tok, count(*) AS n FROM flat GROUP BY tok), "
+        "j AS (SELECT flat.rid, flat.pos, flat.tok, f.n FROM flat "
+        "  JOIN freq f ON flat.tok = f.tok), "
+        "mx AS (SELECT rid, max(n) AS mxn FROM j GROUP BY rid), "
+        "tmpl AS (SELECT j.rid, string_agg(CASE WHEN j.n = mx.mxn THEN j.tok "
+        "  ELSE '<*>' END, ' ' ORDER BY j.pos) AS template "
+        "  FROM j JOIN mx ON j.rid = mx.rid GROUP BY j.rid), "
+        "banks AS (SELECT template, count(*) AS n FROM tmpl GROUP BY template) "
+        "SELECT CAST(row_number() OVER (ORDER BY n DESC, template ASC) - 1 "
+        "  AS BIGINT) AS priority, "
+        "substring(md5(template), 1, 8) AS template_id, template FROM banks"
     ),
     "embeddings_near_dupes": (
         "SELECT a.vec_id AS a, b.vec_id AS b, "

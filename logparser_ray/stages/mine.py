@@ -137,18 +137,15 @@ def slct_fit(ds, *, text_col: str = "text", support: int = 10) -> PatternBank:
         .aggregate(Sum("n", alias_name="n"))
     )
     freq_tbl = counts.filter(expr=f"n >= {support}").to_pandas()
-    frequent = ray.put(set(freq_tbl["key"]))
+    frequent = ray.put(pa.array(freq_tbl["key"], pa.string()))
 
     def templatize(batch: pa.Table) -> pa.Table:
         fset = ray.get(frequent)
         toks = _token_lists(batch, text_col)
-        keys = _pos_keys(toks).to_numpy(zero_copy_only=False)
-        flat = toks.flatten().to_numpy(zero_copy_only=False)
-        keep = np.array([k in fset for k in keys], dtype=bool)
-        out_flat = np.where(keep, flat, WILDCARD)
-        lists = pa.ListArray.from_arrays(
-            toks.offsets, pa.array(out_flat, pa.string())
-        )
+        keys = _pos_keys(toks)
+        keep = pc.is_in(keys, value_set=fset)
+        out_flat = pc.if_else(keep, toks.flatten(), WILDCARD)
+        lists = pa.ListArray.from_arrays(toks.offsets, out_flat)
         tmpl = pc.binary_join(lists, " ")
         t = pa.table({"template": tmpl})
         return t.group_by(["template"]).aggregate([([], "count_all")]).rename_columns(
@@ -206,16 +203,17 @@ def logram_fit(ds, *, text_col: str = "text", threshold: int = 10) -> PatternBan
         .groupby("key")
         .aggregate(Sum("n", alias_name="n"))
     )
-    freq = ray.put(set(counts.filter(expr=f"n >= {threshold}").to_pandas()["key"]))
+    freq = ray.put(
+        pa.array(counts.filter(expr=f"n >= {threshold}").to_pandas()["key"], pa.string())
+    )
 
     def templatize(batch: pa.Table) -> pa.Table:
         fset = ray.get(freq)
         toks = _token_lists(batch, text_col)
-        keys = _bigram_keys(toks).to_numpy(zero_copy_only=False)
-        flat = toks.flatten().to_numpy(zero_copy_only=False)
-        keep = np.array([k in fset for k in keys], dtype=bool)
-        out_flat = np.where(keep, flat, WILDCARD)
-        lists = pa.ListArray.from_arrays(toks.offsets, pa.array(out_flat, pa.string()))
+        keys = _bigram_keys(toks)
+        keep = pc.is_in(keys, value_set=fset)
+        out_flat = pc.if_else(keep, toks.flatten(), WILDCARD)
+        lists = pa.ListArray.from_arrays(toks.offsets, out_flat)
         t = pa.table({"template": pc.binary_join(lists, " ")})
         return t.group_by(["template"]).aggregate([([], "count_all")]).rename_columns(
             ["template", "n"]
@@ -258,14 +256,19 @@ def lfa_fit(ds, *, text_col: str = "text") -> PatternBank:
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
     )
-    freq = ray.put(dict(zip(counts["tok"], counts["n"])))
+    freq = ray.put(
+        pa.table({"tok": pa.array(counts["tok"], pa.string()), "n": pa.array(counts["n"], pa.int64())})
+    )
 
     def templatize(batch: pa.Table) -> pa.Table:
         fmap = ray.get(freq)
         toks = _token_lists(batch, text_col)
         offsets = np.asarray(toks.offsets)
         flat = toks.flatten().to_numpy(zero_copy_only=False)
-        f = np.array([fmap.get(t, 0) for t in flat], dtype=np.int64)
+        idx = pc.index_in(toks.flatten(), value_set=fmap["tok"].combine_chunks())
+        f = np.asarray(
+            pc.fill_null(pc.take(fmap["n"].combine_chunks(), idx), 0), dtype=np.int64
+        )
         # per-row max frequency (split_pattern never yields empty lists, so
         # every offsets[:-1] entry indexes a real token)
         row_max = (
@@ -404,15 +407,16 @@ def logcluster_fit(ds, *, text_col: str = "text", support: int = 10) -> PatternB
         .groupby("tok")
         .aggregate(Sum("n", alias_name="n"))
     )
-    freq = ray.put(set(counts.filter(expr=f"n >= {support}").to_pandas()["tok"]))
+    freq = ray.put(
+        pa.array(counts.filter(expr=f"n >= {support}").to_pandas()["tok"], pa.string())
+    )
 
     def templatize(batch: pa.Table) -> pa.Table:
         fset = ray.get(freq)
         toks = _token_lists(batch, text_col)
-        flat = toks.flatten().to_numpy(zero_copy_only=False)
-        keep = np.array([t in fset for t in flat], dtype=bool)
-        out_flat = np.where(keep, flat, WILDCARD)
-        lists = pa.ListArray.from_arrays(toks.offsets, pa.array(out_flat, pa.string()))
+        keep = pc.is_in(toks.flatten(), value_set=fset)
+        out_flat = pc.if_else(keep, toks.flatten(), WILDCARD)
+        lists = pa.ListArray.from_arrays(toks.offsets, out_flat)
         t = pa.table({"template": pc.binary_join(lists, " ")})
         return t.group_by(["template"]).aggregate([([], "count_all")]).rename_columns(
             ["template", "n"]
