@@ -6,8 +6,8 @@
                                 # throughputs + N→4N scaling efficiency
 
 Headline: the flagship parse→enrich→route→aggregate pipeline over the
-bench-scale transcripts fixture (4.8M turns at sf0.1), reported as wall
-seconds (metric value) plus turns/sec. This script OWNS its Ray session
+bench-scale transcripts fixture (9.6M turns at sf0.1 — TURNS_BY_SF),
+reported as wall seconds (metric value) plus turns/sec. This script OWNS its Ray session
 (the only places allowed to: bench/CLI/tests fixture).
 """
 

@@ -32,9 +32,11 @@ from logparser_ray.core.bank import WILDCARD, PatternBank
 
 
 def _preprocess_stage(ds, rex: list[str], content_col: str = "Content"):
-    """M1: ordered regex → ``<*>`` substitution, vectorized per batch."""
-    if not rex:
-        return ds
+    """M1: ordered regex → ``<*>`` substitution, vectorized per batch.
+
+    Always emits ``ContentPre`` — downstream fit/match hardcode that column,
+    so the upstream-default ``rex=[]`` path must produce it too (a zero-copy
+    column rename; previously this path crashed with a missing column)."""
     compiled = list(rex)
 
     def fn(batch: pa.Table) -> pa.Table:

@@ -67,22 +67,40 @@ class _UnionFind:
 
 
 def lke_cluster(seqs: list[list[str]], threshold: float = 0.3) -> list[int]:
-    """Single-linkage component labels under the weighted edit distance."""
+    """Single-linkage component labels under the weighted edit distance.
+
+    The O(n²) loop is pruned by a *threshold-derived* length bound: aligning
+    an ``la``-token sequence to a longer ``lb``-token one needs ≥ lb−la
+    insertions at distinct columns, whose minimum total weight is the
+    cheapest (last) columns — ``sum(w[la:lb])``. With ``w[i] = 1/(1+i)``
+    that gives ``min_dist = 1 − H(la)/H(lb)`` (harmonic prefix sums), so a
+    length pair is skipped only when NO members can fall under
+    ``threshold`` (the earlier fixed 2× ratio silently dropped reachable
+    pairs for thresholds above ~0.34 — ADVICE r01). The bound is monotone
+    in lb, so ``break`` is safe."""
     n = len(seqs)
     uf = _UnionFind(n)
-    # prune the O(n²) loop: only sequences whose token counts are within 2×
-    # can fall under any reasonable threshold
     by_len: dict[int, list[int]] = defaultdict(list)
     for i, s in enumerate(seqs):
         by_len[len(s)].append(i)
     lens = sorted(by_len)
+    maxlen = lens[-1] if lens else 0
+    H = [0.0] * (maxlen + 1)  # H[i] = sum(w[:i]) with w[k] = 1/(1+k)
+    for i in range(1, maxlen + 1):
+        H[i] = H[i - 1] + 1.0 / i
     for li, la in enumerate(lens):
         for lb in lens[li:]:
-            if lb > 2 * max(la, 1):
+            if lb > la and H[lb] > 0 and (1.0 - H[la] / H[lb]) > threshold:
                 break
+            same = la == lb
             for i in by_len[la]:
                 for j in by_len[lb]:
-                    if j <= i:
+                    # dedup guard applies ONLY within a length group; for
+                    # la < lb the index sets are disjoint and skipping
+                    # j <= i dropped pairs where the longer sequence had
+                    # the smaller index (latent bug caught by the
+                    # brute-force property test)
+                    if same and j <= i:
                         continue
                     if weighted_edit_distance(seqs[i], seqs[j]) <= threshold:
                         uf.union(i, j)

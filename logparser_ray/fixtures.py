@@ -395,19 +395,30 @@ def ensure_transcripts(
     bench-scale inputs build in ~1 min instead of ~10.
     """
     root = transcripts_cache_dir()
-    tdir = os.path.join(root, f"transcripts_n{n_turns}_s{seed}")
+    # the cache dir is KEYED ON GENERATION MODE: chunked and unchunked modes
+    # produce different (both deterministic) data for the same (n, seed), and
+    # ensure_parquet skips existing files — an unkeyed dir could end up with
+    # chunked part files next to an unchunked golden (ADVICE r01)
+    chunked = n_turns > _CHUNK_TURNS and not with_golden
+    tdir = os.path.join(
+        root, f"transcripts_n{n_turns}_s{seed}" + ("_chunked" if chunked else "")
+    )
     gpath = os.path.join(root, f"golden_n{n_turns}_s{seed}.parquet")
     done = os.path.join(tdir, "_SUCCESS")
     if os.path.exists(done) and (not with_golden or os.path.exists(gpath)):
         return tdir, (gpath if with_golden else None)
     os.makedirs(tdir, exist_ok=True)
-    if n_turns > _CHUNK_TURNS and not with_golden:
+    if chunked:
         from concurrent.futures import ProcessPoolExecutor
 
         n_chunks = (n_turns + _CHUNK_TURNS - 1) // _CHUNK_TURNS
-        per = n_turns // n_chunks
-        files_per_chunk = max(1, min(32, per // 75_000))
-        jobs = [(i, per, seed, tdir, files_per_chunk) for i in range(n_chunks)]
+        base, rem = divmod(n_turns, n_chunks)
+        # remainder rows spread over the first `rem` chunks so the fixture
+        # has EXACTLY n_turns rows (n // n_chunks silently dropped up to
+        # n_chunks-1 rows before — ADVICE r01)
+        ns = [base + (1 if i < rem else 0) for i in range(n_chunks)]
+        files_per_chunk = max(1, min(32, base // 75_000))
+        jobs = [(i, ns[i], seed, tdir, files_per_chunk) for i in range(n_chunks)]
         with ProcessPoolExecutor(max_workers=min(8, n_chunks)) as pool:
             list(pool.map(_gen_chunk, jobs))
     else:

@@ -353,52 +353,95 @@ def q_customers_semi_anti(sf_dir: str):
 
 
 def q_revenue_by_nation(sf_dir: str):
-    """3-way broadcast join chain (SURVEY.md J3): lineitem → orders →
-    customer → nation, revenue per nation in integer cents."""
-    orders = pa.concat_tables(
-        [ray.get(r) for r in _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_arrow_refs()]
-    )
+    """Fact⋈fact distributed join (SURVEY.md J3): lineitem is
+    partial-aggregated to one row per l_orderkey (map_batches combiner +
+    one groupby), hash-joined against orders annotated with the broadcast
+    customer→nation composed dim, then reduced to 25 nation rows. Neither
+    fact table ever lands whole anywhere — the 100 TB shape (the previous
+    version concat'd all of orders on the driver)."""
+    from ray.data.aggregate import Sum
+
+    # true dims, composed on the driver: custkey → nation name (customer is
+    # the *smallest* fact-side table; its 2-column projection broadcasts)
     cust = pa.concat_tables(
         [ray.get(r) for r in _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_arrow_refs()]
     )
     nation = pa.concat_tables(
         [ray.get(r) for r in _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_arrow_refs()]
     )
-    # pre-compose the two small dims on the driver: orderkey → nation name
-    oc = pc.index_in(orders["o_custkey"], value_set=cust["c_custkey"].combine_chunks())
-    nk = cust["c_nationkey"].combine_chunks().take(oc)
-    nn = pc.index_in(nk, value_set=nation["n_nationkey"].combine_chunks())
-    order_nation = pa.table(
-        {
-            "o_orderkey": orders["o_orderkey"],
-            "n_name": nation["n_name"].combine_chunks().take(nn),
-        }
+    ref = ray.put(
+        pa.table(
+            {
+                "c_custkey": cust["c_custkey"],
+                "n_name": nation["n_name"]
+                .combine_chunks()
+                .take(
+                    pc.index_in(
+                        cust["c_nationkey"],
+                        value_set=nation["n_nationkey"].combine_chunks(),
+                    )
+                ),
+            }
+        )
     )
-    ref = ray.put(order_nation)
-    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def join_agg(b: pa.Table) -> pa.Table:
+    def order_nation(b: pa.Table) -> pa.Table:
         dim = ray.get(ref)
-        idx = pc.index_in(b["l_orderkey"], value_set=dim["o_orderkey"].combine_chunks())
-        name = dim["n_name"].combine_chunks().take(idx)
+        idx = pc.index_in(b["o_custkey"], value_set=dim["c_custkey"].combine_chunks())
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "n_name": dim["n_name"].combine_chunks().take(idx),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
+        order_nation, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def li_partial(b: pa.Table) -> pa.Table:
         cents = np.floor(
             b["l_extendedprice"].to_numpy(zero_copy_only=False)
             * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False))
             * 100
             + 0.5
         ).astype(np.int64)
-        t = pa.table({"n_name": name, "revenue_cents": pa.array(cents)})
-        agg = t.group_by(["n_name"]).aggregate(
-            [("revenue_cents", "sum"), ([], "count_all")]
+        t = pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "revenue_cents": pa.array(cents),
+                "n_items": pa.array(np.ones(len(cents), np.int64)),
+            }
+        )
+        agg = t.group_by(["l_orderkey"]).aggregate(
+            [("revenue_cents", "sum"), ("n_items", "sum")]
+        )
+        return agg.rename_columns(["l_orderkey", "revenue_cents", "n_items"])
+
+    # per-batch combiner only — no groupby(l_orderkey) barrier: sums
+    # distribute across the join, so partial rows (≥1 per orderkey per
+    # block) join fine and the per-nation aggregate finishes the reduction
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = li.join(
+        orders, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    def nation_partial(b: pa.Table) -> pa.Table:
+        agg = b.group_by(["n_name"]).aggregate(
+            [("revenue_cents", "sum"), ("n_items", "sum")]
         )
         return agg.rename_columns(["n_name", "revenue_cents", "n_items"])
 
-    from ray.data.aggregate import Sum
-
-    p = li.map_batches(join_agg, batch_format="pyarrow", zero_copy_batch=True)
-    return p.groupby("n_name").aggregate(
-        Sum("revenue_cents", alias_name="revenue_cents"),
-        Sum("n_items", alias_name="n_items"),
+    return (
+        joined.map_batches(nation_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_name")
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_items", alias_name="n_items"),
+        )
     )
 
 
@@ -463,17 +506,30 @@ def q_top_orders_per_segment(sf_dir: str):
             }
         )
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(
-            ["price_cents", "o_orderkey"], ascending=[False, True]
-        ).head(3)
+    def partial_topk(b: pa.Table) -> pd.DataFrame:
+        # per-batch top-3 per segment: the combiner shape (a
+        # groupby(segment).map_groups here would materialize ~1/5 of the
+        # fact table in one worker's pandas frame)
+        g = b.to_pandas()
+        return (
+            g.sort_values(["price_cents", "o_orderkey"], ascending=[False, True])
+            .groupby("c_mktsegment", sort=False)
+            .head(3)
+        )
 
-    out = (
+    candidates = (
         ds.map_batches(add_seg, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("c_mktsegment")
-        .map_groups(topk, batch_format="pandas")
+        .map_batches(partial_topk, batch_format="pyarrow")
+        .to_pandas()  # ≤ 3 × n_segments × n_blocks rows — tiny
     )
-    return out
+    out = (
+        candidates.sort_values(["price_cents", "o_orderkey"], ascending=[False, True])
+        .groupby("c_mktsegment", sort=False)
+        .head(3)
+        .sort_values(["c_mktsegment", "price_cents", "o_orderkey"])
+        .reset_index(drop=True)
+    )
+    return out[["c_mktsegment", "o_orderkey", "price_cents"]]
 
 
 def q_events_filter(sf_dir: str):
@@ -656,6 +712,20 @@ def q_docs_quality_by_lang(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _query_vec(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    """Fetch one query embedding via a direct parquet row-group read (the
+    previous ``ds.filter(...).to_pandas()`` scanned the whole table through
+    a Ray job just to pull one row — VERDICT r01)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", vec_id)],
+    )
+    return np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+
+
 def q_embeddings_knn(sf_dir: str):
     """Brute-force cosine top-5 vs the vec_id=0 embedding.
 
@@ -663,12 +733,7 @@ def q_embeddings_knn(sf_dir: str):
     the DuckDB oracle hash can't drift on float32/float64 representation.
     """
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    q = (
-        ds.filter(expr="vec_id == 0")
-        .to_pandas()["embedding"]
-        .iloc[0]
-    )
-    out = brute_force_topk(ds, np.asarray(q, dtype=np.float64), k=32)
+    out = brute_force_topk(ds, _query_vec(sf_dir), k=32)
     out["cos_bp"] = np.floor(out["cos"] * 10_000 + 0.5).astype(np.int64)
     out = out.sort_values(["cos_bp", "vec_id"], ascending=[False, True]).head(5)
     return out[["vec_id", "cos_bp"]].reset_index(drop=True)
@@ -731,8 +796,7 @@ def q_docs_langid(sf_dir: str):
 
 def q_embeddings_lsh_knn(sf_dir: str):
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    q = ds.filter(expr="vec_id == 0").to_pandas()["embedding"].iloc[0]
-    return lsh_bucketed_topk(ds, np.asarray(q, dtype=np.float64), k=5)
+    return lsh_bucketed_topk(ds, _query_vec(sf_dir), k=5)
 
 
 def q_embeddings_near_dupes(sf_dir: str):
@@ -749,8 +813,7 @@ def q_embeddings_ivf_knn(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     centroids = kmeans_fit(ds, k=8, iters=5)
-    q = ds.filter(expr="vec_id == 0").to_pandas()["embedding"].iloc[0]
-    return ivf_topk(ds, np.asarray(q, dtype=np.float64), centroids, k=5, n_probe=2)
+    return ivf_topk(ds, _query_vec(sf_dir), centroids, k=5, n_probe=2)
 
 
 def q_embeddings_near_dupes_lsh(sf_dir: str):

@@ -69,10 +69,18 @@ class MinHasher:
     construction, tuned so Jaccard ≥ ``threshold`` pairs are likely caught.
     """
 
-    def __init__(self, k: int = 3, bands: int = 16, rows_per_band: int = 4, seed: int = 1):
+    def __init__(
+        self,
+        k: int = 3,
+        bands: int = 16,
+        rows_per_band: int = 4,
+        seed: int = 1,
+        emit_shingles: bool = False,
+    ):
         self.k = k
         self.bands = bands
         self.r = rows_per_band
+        self.emit_shingles = emit_shingles
         self.a, self.b = _minhash_params(bands * rows_per_band, seed)
 
     def signature(self, sh: np.ndarray) -> np.ndarray:
@@ -92,15 +100,20 @@ class MinHasher:
             band_hash[i] = (
                 sig * np.uint64(1099511628211) ** np.arange(self.r, dtype=np.uint64)
             ).sum(axis=1)
-        return pa.table(
-            {
-                "doc_id": pa.array(np.repeat(ids, self.bands)),
-                "band_id": pa.array(
-                    np.tile(np.arange(self.bands, dtype=np.int32), n)
-                ),
-                "band_hash": pa.array(band_hash.reshape(-1).astype(np.int64)),
-            }
-        )
+        cols = {
+            "doc_id": pa.array(np.repeat(ids, self.bands)),
+            "band_id": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
+            "band_hash": pa.array(band_hash.reshape(-1).astype(np.int64)),
+        }
+        if self.emit_shingles:
+            # packed sorted-unique shingle hashes (uint64 LE bytes), repeated
+            # per band row — lets the bucket block verify exact Jaccard
+            # in-place with no second shuffle (see minhash_near_dupes)
+            blobs = [np.unique(sh).astype("<u8").tobytes() for sh in shingles]
+            cols["sh"] = pa.array(
+                [blobs[i] for i in range(n) for _ in range(self.bands)], pa.binary()
+            )
+        return pa.table(cols)
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -114,6 +127,15 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
+def _jaccard_packed(sa_blob: bytes, sb_blob: bytes) -> float:
+    sa = np.frombuffer(sa_blob, dtype="<u8")
+    sb = np.frombuffer(sb_blob, dtype="<u8")
+    if not len(sa) and not len(sb):
+        return 1.0
+    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+    return inter / (len(sa) + len(sb) - inter)
+
+
 def minhash_near_dupes(
     ds,
     *,
@@ -122,33 +144,120 @@ def minhash_near_dupes(
     rows_per_band: int = 4,
     threshold: float = 0.8,
     concurrency=None,
+    verify: str = "inline",
 ):
     """Full MinHash-LSH near-dup pipeline → pandas DataFrame of verified pairs
-    ``(a, b, jaccard)`` sorted by (a, b). Candidate generation and the exact
-    Jaccard verify both run distributed; only the (small) pair list and
-    shingle-hash arrays of candidate docs touch the driver.
+    ``(a, b, jaccard)`` sorted by (a, b). Fully distributed — nothing
+    row-scale touches the driver, and no stage executes twice.
+
+    ``verify`` selects how exact n-gram Jaccard is confirmed:
+
+    - ``"inline"`` (default): each doc's packed sorted-unique shingle hashes
+      ride along with its ``(band_id, band_hash)`` rows through the ONE
+      bucket shuffle, so each bucket block emits *verified* pairs directly;
+      a ``groupby(a, b)`` dedups pairs that agree on several bands. Shuffle
+      payload is ``bands × |shingles| × 8 B`` per doc (~7 KB at 16 bands /
+      50 tokens) — the classic LSH dup-shipping trade, and still one
+      all-to-all instead of three.
+    - ``"join"``: ids-only bucket shuffle → candidate-pair ``groupby``
+      dedup → two ``Dataset.join``s against the per-doc shingle table.
+      Minimum shuffle bytes, but three all-to-all exchanges and join
+      aggregator actor pools — needs a cluster with CPUs to spare (it can
+      starve a ≤4-CPU local cluster; measured 2026-08-17).
     """
-    # candidate pairs: hash-partition the (band, bucket, doc) rows so each
-    # bucket lands whole in one block, then ONE vectorized pyarrow group_by
-    # per block with a "list" aggregate — python touches only multi-member
-    # buckets (vs map_groups' per-bucket pandas call: measured ~5s → ~1s at
-    # sf0.1's ~70k buckets). The shuffle strategy lives in the context
-    # captured by the ROOT dataset at creation, so flip it there.
+    if verify not in ("inline", "join"):
+        raise ValueError(verify)
+    # The shuffle strategy lives in the context captured by the ROOT dataset
+    # at creation, so flip it there (restored in finally).
     from ray.data.context import ShuffleStrategy
 
     root_ctx = ds.context
     prev_strategy = root_ctx.shuffle_strategy
     root_ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
 
+    # size the bucket shuffle from the input row count (parquet metadata /
+    # in-memory — cheap), NOT from bands_ds.count(), which would execute the
+    # MinHasher stage a second time just to size blocks
+    n_docs = ds.count()
     bands_ds = ds.select_columns(["doc_id", "text"]).map_batches(
         MinHasher,
-        fn_constructor_kwargs={"k": k, "bands": bands, "rows_per_band": rows_per_band},
+        fn_constructor_kwargs={
+            "k": k,
+            "bands": bands,
+            "rows_per_band": rows_per_band,
+            "emit_shingles": verify == "inline",
+        },
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency or (1, 4),  # autoscaling: a FIXED pool of 4 can
         # reserve every CPU of a small cluster and starve the upstream read
         # task (deadlock); min=1 always leaves room
     )
+    n_blocks = max(4, min(64, (n_docs * bands) // 50_000 + 4))
+
+    try:
+        if verify == "inline":
+            out = _near_dupes_inline(bands_ds, n_blocks, threshold)
+        else:
+            out = _near_dupes_join(ds, bands_ds, n_blocks, n_docs, k, threshold)
+    finally:
+        root_ctx.shuffle_strategy = prev_strategy
+    if len(out) == 0:
+        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def _near_dupes_inline(bands_ds, n_blocks: int, threshold: float) -> pd.DataFrame:
+    """One bucket shuffle; per-block group_by + in-place Jaccard verify.
+    Candidate pairs agreeing on several bands are verified once per band
+    (identical values — intersect1d on ~50-element arrays is µs) and
+    collapsed by a drop_duplicates on the *returned* frame: the verified
+    pair list IS the result handed to the caller, so deduping it driver-side
+    adds no scale cost beyond returning it (duplicate factor ≤ bands;
+    measured 1.16× at sf0.1 — a distributed groupby here cost 12 s of
+    hash-shuffle overhead on a 5 MB result)."""
+
+    def verified_pairs_in_block(b: pa.Table) -> pa.Table:
+        agg = b.group_by(["band_id", "band_hash"]).aggregate(
+            [("doc_id", "list"), ("sh", "list")]
+        )
+        out_a, out_b, out_j = [], [], []
+        for ids, blobs in zip(
+            agg["doc_id_list"].to_pylist(), agg["sh_list"].to_pylist()
+        ):
+            if len(ids) < 2 or len(ids) > 200:  # cap pathological buckets
+                continue
+            by_id = dict(zip(ids, blobs))
+            u = sorted(by_id)
+            if len(u) < 2:
+                continue
+            for i in range(len(u)):
+                for j in range(i + 1, len(u)):
+                    jac = _jaccard_packed(by_id[u[i]], by_id[u[j]])
+                    if jac >= threshold:
+                        out_a.append(u[i])
+                        out_b.append(u[j])
+                        out_j.append(jac)
+        return pa.table(
+            {
+                "a": pa.array(np.asarray(out_a, np.int64)),
+                "b": pa.array(np.asarray(out_b, np.int64)),
+                "jaccard": pa.array(np.round(np.asarray(out_j, np.float64), 4)),
+            }
+        )
+
+    out = (
+        bands_ds.repartition(num_blocks=n_blocks, keys=["band_id", "band_hash"])
+        .map_batches(verified_pairs_in_block, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    return out.drop_duplicates(["a", "b"]).reset_index(drop=True)
+
+
+def _near_dupes_join(
+    ds, bands_ds, n_blocks: int, n_docs: int, k: int, threshold: float
+) -> pd.DataFrame:
+    """Ids-only buckets + pair⋈shingle hash joins (see minhash_near_dupes)."""
 
     def pairs_in_block(b: pa.Table) -> pa.Table:
         agg = b.group_by(["band_id", "band_hash"]).aggregate([("doc_id", "list")])
@@ -168,71 +277,51 @@ def minhash_near_dupes(
             }
         )
 
-    try:
-        n_blocks = max(4, min(64, bands_ds.count() // 50_000 + 4))
-        pairs = (
-            bands_ds.repartition(num_blocks=n_blocks, keys=["band_id", "band_hash"])
-            .map_batches(pairs_in_block, batch_format="pyarrow", batch_size=None)
-            .to_pandas()
-        )
-    finally:
-        root_ctx.shuffle_strategy = prev_strategy
-    if len(pairs) == 0:
-        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-    pairs = pairs.drop_duplicates(["a", "b"]).reset_index(drop=True)
-
-    # distributed verify: candidate docs' sorted-unique shingle-hash arrays
-    # are small (ids × ~tokens × 8B) — broadcast once, then exact Jaccard per
-    # pair via np.intersect1d inside map_batches (vs a driver-side Python
-    # loop: measured ~8s → ~1s at sf0.1's 534k candidates). At 100 TB the
-    # broadcast becomes a hash-partitioned join of pairs against shingles,
-    # same semantics.
-    need = np.unique(np.concatenate([pairs["a"], pairs["b"]])).astype(np.int64)
-    need_arr = pa.array(need)
+    n_join = max(2, min(32, n_docs // 25_000 + 2))
+    pairs_ds = (
+        bands_ds.repartition(num_blocks=n_blocks, keys=["band_id", "band_hash"])
+        .map_batches(pairs_in_block, batch_format="pyarrow", batch_size=None)
+        # distributed dedup (a pair repeats once per agreeing band)
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+    )
 
     def shingles_of(b: pa.Table) -> pa.Table:
-        t = b.filter(pc.is_in(b["doc_id"], value_set=need_arr))
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        texts = t["text"].to_numpy(zero_copy_only=False)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = b["text"].to_numpy(zero_copy_only=False)
         hs = [np.unique(h) for h in _shingle_hashes(texts, k)]
+        # packed as binary (uint64 LE bytes): Arrow's hash join rejects
+        # list<> payload columns but carries var-len binary fine
         return pa.table(
             {
                 "doc_id": pa.array(ids),
-                "sh": pa.array(
-                    [h.astype(np.uint64) for h in hs], pa.list_(pa.uint64())
-                ),
+                "sh": pa.array([h.astype("<u8").tobytes() for h in hs], pa.binary()),
             }
         )
 
-    sh_tbl = pa.concat_tables(
-        [
-            ray.get(r)
-            for r in ds.select_columns(["doc_id", "text"])
-            .map_batches(shingles_of, batch_format="pyarrow", zero_copy_batch=True)
-            .to_arrow_refs()
-        ]
-    )
-    lut_ref = ray.put(
-        dict(
-            zip(
-                sh_tbl["doc_id"].to_pylist(),
-                [np.asarray(v, dtype=np.uint64) for v in sh_tbl["sh"].to_pylist()],
-            )
+    def sh_ds():
+        return ds.select_columns(["doc_id", "text"]).map_batches(
+            shingles_of, batch_format="pyarrow", zero_copy_batch=True
         )
-    )
 
-    def verify(b: pa.Table) -> pa.Table:
-        lut = ray.get(lut_ref)
+    # the join drops the right key column (doc_id) from its output
+    j = pairs_ds.join(
+        sh_ds(), "inner", num_partitions=n_join, on=("a",), right_on=("doc_id",)
+    ).rename_columns({"sh": "sh_a"})
+    j = j.join(
+        sh_ds(), "inner", num_partitions=n_join, on=("b",), right_on=("doc_id",)
+    ).rename_columns({"sh": "sh_b"})
+
+    def verify_batch(b: pa.Table) -> pa.Table:
         a_ids = b["a"].to_numpy(zero_copy_only=False)
         b_ids = b["b"].to_numpy(zero_copy_only=False)
-        jac = np.empty(len(a_ids), dtype=np.float64)
-        for i, (x, y) in enumerate(zip(a_ids, b_ids)):
-            sa, sb = lut[x], lut[y]
-            if not len(sa) and not len(sb):
-                jac[i] = 1.0
-                continue
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            jac[i] = inter / (len(sa) + len(sb) - inter)
+        sh_a = b["sh_a"].to_pylist()
+        sh_b = b["sh_b"].to_pylist()
+        jac = np.array(
+            [_jaccard_packed(sh_a[i], sh_b[i]) for i in range(len(a_ids))],
+            dtype=np.float64,
+        )
         keep = jac >= threshold
         return pa.table(
             {
@@ -242,16 +331,7 @@ def minhash_near_dupes(
             }
         )
 
-    import ray.data as rd
-
-    n_blocks = max(1, min(64, len(pairs) // 4_000))
-    out = (
-        rd.from_arrow(pa.Table.from_pandas(pairs, preserve_index=False))
-        .repartition(num_blocks=n_blocks)
-        .map_batches(verify, batch_format="pyarrow", batch_size=None)
-        .to_pandas()
-    )
-    return out.sort_values(["a", "b"]).reset_index(drop=True)
+    return j.map_batches(verify_batch, batch_format="pyarrow", batch_size=None).to_pandas()
 
 
 class SimHasher:

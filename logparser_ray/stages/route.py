@@ -66,20 +66,30 @@ def route_repartition(
     Returns a dataset whose blocks are co-located by sink key — salted, a
     hot key's rows split across ≤ ``num_salts`` reducers instead of
     crushing one (BASELINE.json:6 hot conv_id skew); the salt column is
-    dropped after the exchange. Requires (and flips) the root dataset's
-    shuffle strategy to HASH_SHUFFLE for the key-based repartition.
+    dropped after the exchange.
+
+    The key-based repartition requires ``shuffle_strategy=HASH_SHUFFLE`` *at
+    execution time* (verified: Ray raises otherwise), so the exchange is
+    executed here (``materialize`` — a keyed repartition is an all-to-all
+    barrier regardless; blocks pin in the object store and spill as needed)
+    and the context's previous strategy is restored before returning,
+    instead of leaking HASH_SHUFFLE into every later op on the context.
     """
     from ray.data.context import ShuffleStrategy
 
+    prev_strategy = ds.context.shuffle_strategy
     ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    keys = list(keys or SINK_KEYS)
-    if salted:
-        ds = add_salt(ds, num_salts=num_salts)
-        keys = keys + [SALT_COL]
-    ds = ds.repartition(num_blocks=num_blocks, keys=keys, sort=sort)
-    if salted:
-        ds = ds.drop_columns([SALT_COL])
-    return ds
+    try:
+        keys = list(keys or SINK_KEYS)
+        if salted:
+            ds = add_salt(ds, num_salts=num_salts)
+            keys = keys + [SALT_COL]
+        ds = ds.repartition(num_blocks=num_blocks, keys=keys, sort=sort)
+        if salted:
+            ds = ds.drop_columns([SALT_COL])
+        return ds.materialize()
+    finally:
+        ds.context.shuffle_strategy = prev_strategy
 
 
 # ---------------------------------------------------------------------------

@@ -213,9 +213,6 @@ def read_sink(
                 items.append({"path": os.path.join(frag_dir, fname), "row_group": rg})
         elif rel in m.sink_counts:
             hive_dirs.append(os.path.join(frag_dir, rel))
-    if hive_dirs:
-        return ray.data.read_parquet(hive_dirs)
-
     def read_groups(batch):
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -228,13 +225,23 @@ def read_sink(
             tables.append(pq.ParquetFile(path).read_row_groups(sorted(rgs)))
         return pa.concat_tables(tables) if tables else pa.table({})
 
-    if not items:
+    if not items and not hive_dirs:
         raise KeyError(f"sink {rel!r} not found in manifests under {out_root}")
-    ds = ray.data.from_items(items)
-    n_blocks = max(1, min(len(items), 64))
-    return ds.repartition(num_blocks=n_blocks).map_batches(
-        read_groups, batch_format="pyarrow", batch_size=None
-    )
+    # an out_root may mix layouts across fragments (e.g. a resumed run with a
+    # changed layout setting): read BOTH and union, instead of silently
+    # dropping the packed fragments when any hive fragment exists (ADVICE r01)
+    parts = []
+    if hive_dirs:
+        parts.append(ray.data.read_parquet(hive_dirs))
+    if items:
+        ds = ray.data.from_items(items)
+        n_blocks = max(1, min(len(items), 64))
+        parts.append(
+            ds.repartition(num_blocks=n_blocks).map_batches(
+                read_groups, batch_format="pyarrow", batch_size=None
+            )
+        )
+    return parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
 
 
 def counts_checksum(counts: dict[str, int]) -> str:

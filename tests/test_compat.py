@@ -78,6 +78,20 @@ def test_other_algos_compat(ray_session, logdir, tmp_path, algo, kwargs):
     assert t["Occurrences"].sum() == len(s)
 
 
+def test_drain_compat_default_rex(ray_session, logdir, tmp_path):
+    """Upstream default rex=[] must work: no preprocessing, Content feeds
+    the miner directly (this path crashed before — ADVICE r01)."""
+    from logparser_ray.compat import Drain
+
+    parser = Drain.LogParser(fixtures.RAWLOG_FORMAT, logdir, str(tmp_path))
+    parser.parse("app.log")
+    s = pd.read_csv(tmp_path / "app.log_structured.csv")
+    t = pd.read_csv(tmp_path / "app.log_templates.csv")
+    assert len(s) > 0 and len(t) >= 1
+    assert t["Occurrences"].sum() == len(s)
+    assert {"LineId", "Content", "EventId", "EventTemplate"} <= set(s.columns)
+
+
 def test_molfi_unavailable(logdir, tmp_path):
     from logparser_ray.compat import MoLFI
 

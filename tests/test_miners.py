@@ -217,3 +217,44 @@ def test_spell_conformance_mode_deterministic(ray_session):
     b2 = mine.fit_bank(ds, "spell", params={"tau": 0.5}, mode="conformance")
     assert [t.template for t in b1] == [t.template for t in b2]
     assert _accuracy_of_bank(ray_session, b1) > 0.6
+
+
+def test_lke_pruned_cluster_equals_brute_force():
+    """The threshold-derived length prune must not change single-linkage
+    components vs an unpruned O(n²) pass, at ANY threshold (the old fixed
+    2× ratio prune and a cross-length index guard both failed this)."""
+    import itertools
+    import random
+
+    from logparser_ray.core.lke import lke_cluster, weighted_edit_distance
+
+    random.seed(3)
+    vocab = ["get", "put", "del", "x", "y", "z", "a", "b"]
+    seqs = [
+        [random.choice(vocab) for _ in range(random.randint(1, 9))]
+        for _ in range(60)
+    ]
+
+    def brute(threshold):
+        n = len(seqs)
+        p = list(range(n))
+
+        def find(x):
+            while p[x] != x:
+                p[x] = p[p[x]]
+                x = p[x]
+            return x
+
+        for i, j in itertools.combinations(range(n), 2):
+            if weighted_edit_distance(seqs[i], seqs[j]) <= threshold:
+                ra, rb = find(i), find(j)
+                if ra != rb:
+                    p[max(ra, rb)] = min(ra, rb)
+        return [find(i) for i in range(n)]
+
+    def canon(labels):
+        m = {}
+        return [m.setdefault(x, len(m)) for x in labels]
+
+    for th in [0.1, 0.3, 0.34, 0.5, 0.9]:
+        assert canon(lke_cluster(seqs, threshold=th)) == canon(brute(th)), th

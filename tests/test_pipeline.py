@@ -141,6 +141,65 @@ def test_hive_layout_roundtrip(ray_session, tmp_path):
     assert "role" not in cols and "text" in cols
 
 
+def test_read_sink_mixed_layouts_unions(ray_session, tmp_path):
+    """An out_root whose fragments mix packed and hive layouts must read a
+    sink from BOTH fragment kinds — previously any hive fragment made
+    read_sink silently drop the packed fragments' rows (ADVICE r01). The
+    resume receipts invalidate on layout change, so the mix is constructed
+    at the writer level."""
+    import pyarrow as pa
+    from logparser_ray.state.manifest import (
+        FragmentManifest,
+        counts_checksum,
+        read_sink,
+        write_manifest,
+    )
+    from logparser_ray.stages.route import write_hive_shard, write_packed_shard
+
+    out = str(tmp_path / "mixed_out")
+    pcols = ["role", "tool", "template_id"]
+    tbl = pa.table(
+        {
+            "role": ["user", "user", "assistant"],
+            "tool": ["", "", "bash"],
+            "template_id": ["t1", "t1", "t2"],
+            "text": ["a", "b", "c"],
+        }
+    )
+    for frag, writer, layout in [
+        ("f0", write_packed_shard, "packed"),
+        ("f1", write_hive_shard, "hive"),
+    ]:
+        frag_dir = os.path.join(out, f"frag={frag}")
+        index = writer(tbl, frag_dir, "shard-0", pcols)
+        counts = {}
+        for rel, _rg, n in index:
+            counts[rel] = counts.get(rel, 0) + n
+        extra = {"layout": layout}
+        if layout == "packed":
+            sink_index = {}
+            for rel, rg, n in index:
+                sink_index.setdefault(rel, []).append(["shard-0.parquet", rg, n])
+            extra["sink_index"] = sink_index
+        write_manifest(
+            out,
+            FragmentManifest(
+                fragment=frag,
+                input_files=[],
+                rows_in=tbl.num_rows,
+                rows_written=tbl.num_rows,
+                sinks=len(counts),
+                sink_counts_sha256=counts_checksum(counts),
+                wall_s=0.0,
+                sink_counts=counts,
+                extra=extra,
+            ),
+        )
+    got = read_sink(out, {"role": "user", "tool": "", "template_id": "t1"}).to_pandas()
+    assert len(got) == 4  # 2 rows from the packed frag + 2 from the hive frag
+    assert sorted(got["text"]) == ["a", "a", "b", "b"]
+
+
 def test_crash_mid_run_keeps_completed_fragments_and_resumes(ray_session, tmp_path):
     """A failure while fragment B is in flight must not lose fragment A's
     streaming-committed manifest; resume then completes only B and the final
