@@ -834,8 +834,12 @@ def q_docs_fingerprints(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
-    ds = ray.data.from_arrow(make_media_table(n=64))
-    return featurize_media(ds)
+    """Real multimodal decode (pure-numpy PPM/WAV codecs) through the
+    actor-pool featurizer stage — decoder='real', not the sha256 stub."""
+    from logparser_ray.stages.multimodal import make_real_media_table
+
+    ds = ray.data.from_arrow(make_real_media_table(n=64))
+    return featurize_media(ds, decoder="real")
 
 
 def _miner_query(fit):
