@@ -788,6 +788,14 @@ def q_docs_simhash_clusters(sf_dir: str):
     return simhash_clusters(ds)
 
 
+def q_docs_simhash_near_dupes(sf_dir: str):
+    """Banded-Hamming SimHash near-dup pairs (exact recall by pigeonhole)."""
+    from logparser_ray.stages.dedup import simhash_near_dupes
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_near_dupes(ds, max_hamming=3, bands=4)
+
+
 def q_docs_langid(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     out = ds.map_batches(langid_batch, batch_format="pyarrow", zero_copy_batch=True)
@@ -1093,6 +1101,7 @@ QUERIES = {
     "rawlog_structured": q_rawlog_structured,
     "docs_unigram_near_dupes": q_docs_unigram_near_dupes,
     "docs_simhash_clusters": q_docs_simhash_clusters,
+    "docs_simhash_near_dupes": q_docs_simhash_near_dupes,
     "docs_langid": q_docs_langid,
     "docs_fingerprints": q_docs_fingerprints,
     "embeddings_lsh_knn": q_embeddings_lsh_knn,

@@ -363,3 +363,109 @@ def simhash_clusters(ds):
         Count(alias_name="n_docs"), Min("doc_id", alias_name="min_doc_id")
     )
     return agg.filter(expr="n_docs > 1")
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR; numpy<2 has no bitwise_count)."""
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def simhash_near_dupes(
+    ds, *, max_hamming: int = 3, bands: int = 4, id_col: str = "doc_id"
+):
+    """All pairs with simhash Hamming distance ≤ ``max_hamming`` — the
+    banded SimHash near-dup path.
+
+    Pigeonhole: with ``bands`` equal 64/bands-bit bands and
+    ``max_hamming < bands``, any qualifying pair agrees exactly on ≥ 1 band
+    — so candidate generation (bucket shuffle on (band_id, band_value)) has
+    recall 1 and the output is the EXACT qualifying pair set, deterministic.
+    Same one-shuffle shape as the MinHash inline verify: the full signature
+    rides with each band row; buckets verify Hamming in place (vectorized
+    XOR + SWAR popcount); the returned frame is deduped driver-side.
+    Returns pandas ``(a, b, hamming)`` sorted by (a, b).
+    """
+    if not 64 % bands == 0:
+        raise ValueError("bands must divide 64")
+    if max_hamming >= bands:
+        raise ValueError("max_hamming must be < bands for exact recall")
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        t = SimHasher()(batch)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        sig = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        n = len(ids)
+        band_val = np.empty((n, bands), dtype=np.int64)
+        for b in range(bands):
+            band_val[:, b] = ((sig >> np.uint64(b * width)) & mask).view(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, bands)),
+                "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+                "band_val": pa.array(band_val.reshape(-1)),
+                "sig": pa.array(np.tile(sig.view(np.int64), (bands, 1)).T.reshape(-1)),
+            }
+        )
+
+    from ray.data.context import ShuffleStrategy
+
+    root_ctx = ds.context
+    prev_strategy = root_ctx.shuffle_strategy
+    root_ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    n_docs = ds.count()
+
+    def pairs_in_block(b: pa.Table) -> pa.Table:
+        agg = b.group_by(["band_id", "band_val"]).aggregate(
+            [(id_col, "list"), ("sig", "list")]
+        )
+        out_a, out_b, out_h = [], [], []
+        for ids, sigs in zip(
+            agg[f"{id_col}_list"].to_pylist(), agg["sig_list"].to_pylist()
+        ):
+            if len(ids) < 2 or len(ids) > 500:  # cap pathological buckets
+                continue
+            order = np.argsort(ids)
+            u_ids = np.asarray(ids, np.int64)[order]
+            u_sig = np.asarray(sigs, np.int64).view(np.uint64)[order]
+            keep = np.concatenate([[True], u_ids[1:] != u_ids[:-1]])
+            u_ids, u_sig = u_ids[keep], u_sig[keep]
+            m = len(u_ids)
+            if m < 2:
+                continue
+            ham = _popcount64(u_sig[:, None] ^ u_sig[None, :])
+            ii, jj = np.nonzero(np.triu(ham <= max_hamming, k=1))
+            out_a.extend(u_ids[ii])
+            out_b.extend(u_ids[jj])
+            out_h.extend(ham[ii, jj])
+        return pa.table(
+            {
+                "a": pa.array(np.asarray(out_a, np.int64)),
+                "b": pa.array(np.asarray(out_b, np.int64)),
+                "hamming": pa.array(np.asarray(out_h, np.int64)),
+            }
+        )
+
+    try:
+        n_blocks = max(4, min(64, (n_docs * bands) // 50_000 + 4))
+        out = (
+            ds.select_columns([id_col, "text"])
+            .map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+            .repartition(num_blocks=n_blocks, keys=["band_id", "band_val"])
+            .map_batches(pairs_in_block, batch_format="pyarrow", batch_size=None)
+            .to_pandas()
+        )
+    finally:
+        root_ctx.shuffle_strategy = prev_strategy
+    if len(out) == 0:
+        return pd.DataFrame({"a": [], "b": [], "hamming": []})
+    return (
+        out.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
+    )

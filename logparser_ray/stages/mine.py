@@ -84,13 +84,44 @@ def fit_bank(
     )
     # partial banks are tiny (templates only) — safe to collect
     tables = [ray.get(r) for r in partials.to_arrow_refs()]
-    merged = _new_miner(miner, params)
-    for t in sorted(
+    banks = sorted(
         (PatternBank.from_arrow(tb) for tb in tables if tb.num_rows),
         key=lambda b: tuple(t.template for t in b),
-    ):
+    )
+    if len(banks) > 64:
+        # log-depth distributed reduce: a single sequential driver merge is
+        # linear in block count (fine at 10³ blocks, a serial bottleneck at
+        # the 10⁶ blocks a 100 TB corpus produces). Pairing is positional
+        # over the sorted leaves → deterministic.
+        return _tree_merge_banks(miner, params, banks)
+    merged = _new_miner(miner, params)
+    for t in banks:
         merged.merge_bank(t)
     return merged.bank()
+
+
+def _tree_merge_banks(miner: str, params: dict | None, banks) -> PatternBank:
+    """Deterministic pairwise reduce of partial banks in Ray tasks."""
+
+    @ray.remote(num_cpus=1)
+    def merge_pair(ta: pa.Table, tb: pa.Table | None) -> pa.Table:
+        m = _new_miner(miner, params)
+        parts = [PatternBank.from_arrow(ta)]
+        if tb is not None:
+            parts.append(PatternBank.from_arrow(tb))
+        for b in sorted(parts, key=lambda b: tuple(t.template for t in b)):
+            m.merge_bank(b)
+        return m.bank().to_arrow()
+
+    refs = [ray.put(b.to_arrow()) for b in banks]
+    while len(refs) > 1:
+        nxt = []
+        for i in range(0, len(refs) - 1, 2):
+            nxt.append(merge_pair.remote(refs[i], refs[i + 1]))
+        if len(refs) % 2:
+            nxt.append(refs[-1])
+        refs = nxt
+    return PatternBank.from_arrow(ray.get(refs[0]))
 
 
 # ---------------------------------------------------------------------------

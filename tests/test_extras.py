@@ -41,6 +41,37 @@ def test_minhash_finds_planted_near_dup(docs_with_dups):
     assert row["jaccard"] == 1.0
 
 
+def test_simhash_near_dupes_exact_vs_brute(ray_session):
+    """Banded SimHash near-dup must return EXACTLY the pairs with Hamming
+    ≤ max_hamming (pigeonhole recall 1) — checked against a brute-force
+    all-pairs pass over the same signatures."""
+    import itertools
+
+    import numpy as np
+    import ray
+
+    rng = np.random.default_rng(17)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    texts = [" ".join(rng.choice(vocab, size=12)) for _ in range(80)]
+    # plant near-identical docs (1-token edits → small Hamming distance)
+    texts[50] = texts[10].replace("alpha", "beta", 1)
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts})
+    ds = ray.data.from_arrow(t)
+
+    got = dedup.simhash_near_dupes(ds, max_hamming=3, bands=4)
+    got_pairs = set(zip(got["a"], got["b"]))
+
+    sigs = (
+        dedup.SimHasher()(t)["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+    )
+    want = set()
+    for i, j in itertools.combinations(range(len(texts)), 2):
+        if int(dedup._popcount64(np.array([sigs[i] ^ sigs[j]]))[0]) <= 3:
+            want.add((i, j))
+    assert got_pairs == want
+    assert len(want) > 0  # the planted edit must actually qualify
+
+
 def test_ngram_jaccard_math():
     assert dedup.ngram_jaccard("a b c d", "a b c d", 2) == 1.0
     assert dedup.ngram_jaccard("a b c", "x y z", 2) == 0.0

@@ -258,3 +258,25 @@ def test_lke_pruned_cluster_equals_brute_force():
 
     for th in [0.1, 0.3, 0.34, 0.5, 0.9]:
         assert canon(lke_cluster(seqs, threshold=th)) == canon(brute(th)), th
+
+
+def test_tree_merge_matches_small_and_is_deterministic(ray_session):
+    """The log-depth tree merge (scale path for >64 partial banks) must be
+    deterministic run to run and produce a usable bank."""
+    from logparser_ray.core.bank import PatternBank
+    from logparser_ray.stages.mine import _tree_merge_banks
+
+    fixture_bank = fixtures.pattern_bank()
+    # 100 single-template partial banks (cycled) — forces the tree path shape
+    parts = [
+        PatternBank([t]) for t in (fixture_bank.templates * 8)[:100]
+    ]
+    b1 = _tree_merge_banks("drain", {"depth": 3, "st": 0.4}, parts)
+    b2 = _tree_merge_banks("drain", {"depth": 3, "st": 0.4}, parts)
+    assert [t.template for t in b1] == [t.template for t in b2]
+    # Drain may legitimately CLUSTER similar templates while merging; the
+    # result must still be a usable bank covering most fixture shapes
+    assert 8 <= len(b1) <= 20
+    mined = {t.template for t in b1}
+    truth = {t.template for t in fixture_bank}
+    assert len(mined & truth) >= 6
