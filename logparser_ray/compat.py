@@ -191,6 +191,19 @@ LogSig = _module("LogSig", _grouped("logsig_fit", {"groupNum": "k"}))
 LKE = _module("LKE", _grouped("lke_fit", {"split_threshold": "threshold"}))
 
 
+# POP († ``logparser/POP/`` — He et al., "Towards Automated Log Parsing for
+# Large-Scale Log Data Analysis"): the reference's only DISTRIBUTED parser, a
+# Spark job doing hierarchical partitioning (by token count, then by split
+# token position) + per-group template abstraction — IPLoM's partitioning
+# family executed data-parallel. This engine IS that architecture on Ray
+# Data, so the landing point maps POP onto the distributed ``iplom_fit``
+# (groupby-shuffle partitioning, per-group mining). Upstream's Spark-tuning
+# knobs have no meaning here and are accepted+ignored; the mining thresholds
+# map as below. Exact upstream parameter parity is unverifiable in this
+# sandbox (empty reference checkout) — flagged †.
+POP = _module("POP", _grouped("iplom_fit", {"CT": "ct", "lowerBound": "lower_bound"}))
+
+
 class _MoLFIUnavailable:
     def __init__(self, *a, **kw):
         raise NotImplementedError(

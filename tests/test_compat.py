@@ -61,6 +61,7 @@ def test_drain_compat_demo_shape(ray_session, logdir, tmp_path):
         ("LogSig", {"groupNum": 8}),
         ("LKE", {"split_threshold": 0.3}),
         ("AEL", {"mergePercent": 0.1}),
+        ("POP", {"CT": 0.35, "lowerBound": 0.25}),
     ],
 )
 def test_other_algos_compat(ray_session, logdir, tmp_path, algo, kwargs):
