@@ -577,6 +577,61 @@ def q_events_avg_gap(sf_dir: str):
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
 
 
+def _win_partial(b: pa.Table, win_starts: np.ndarray) -> pa.Table:
+    cents = np.floor(b["value"].to_numpy(zero_copy_only=False) * 100 + 0.5).astype(
+        np.int64
+    )
+    t = pa.table(
+        {
+            "win_start": pa.array(win_starts),
+            "event_type": b["event_type"],
+            "n": pa.array(np.ones(len(cents), np.int64)),
+            "value_cents": pa.array(cents),
+        }
+    )
+    agg = t.group_by(["win_start", "event_type"]).aggregate(
+        [("n", "sum"), ("value_cents", "sum")]
+    )
+    return agg.rename_columns(["win_start", "event_type", "n", "value_cents"])
+
+
+def q_events_tumbling(sf_dir: str):
+    """Tumbling event-time window (5 min): count + value cents per
+    (window, event_type) — the non-overlapping windowed aggregate."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def part(b: pa.Table) -> pa.Table:
+        ep = pc.cast(b["ts"].combine_chunks(), pa.int64()).to_numpy()  # µs
+        win = (ep // 300_000_000) * 300  # window start, whole seconds
+        return _win_partial(b, win)
+
+    p = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+    return p.groupby(["win_start", "event_type"]).aggregate(
+        Sum("n", alias_name="n"), Sum("value_cents", alias_name="value_cents")
+    )
+
+
+def q_events_hopping(sf_dir: str):
+    """Hopping event-time window (length 10 min, hop 5 min): every event
+    lands in exactly TWO overlapping windows (the row-expanding windowed
+    aggregate tumbling can't express)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def part(b: pa.Table) -> pa.Table:
+        ep = pc.cast(b["ts"].combine_chunks(), pa.int64()).to_numpy()  # µs
+        s = (ep // 300_000_000) * 300
+        return pa.concat_tables([_win_partial(b, s), _win_partial(b, s - 300)])
+
+    p = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+    return p.groupby(["win_start", "event_type"]).aggregate(
+        Sum("n", alias_name="n"), Sum("value_cents", alias_name="value_cents")
+    )
+
+
 def q_transcripts_conv_text_hash(sf_dir: str):
     """O1 conformance: per-conversation md5 over texts in (turn_idx) order —
     byte-level proof that per-turn text order is preserved end to end."""
@@ -805,6 +860,46 @@ def q_docs_langid(sf_dir: str):
 def q_embeddings_lsh_knn(sf_dir: str):
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return lsh_bucketed_topk(ds, _query_vec(sf_dir), k=5)
+
+
+def q_embeddings_ann_approx(sf_dir: str):
+    """Tagged union of the three APPROXIMATE ANN paths (recall<1 by
+    construction → rows-only): LSH-bucketed top-k, IVF top-k, LSH-bucketed
+    near-dup pairs. One driver-audited entry covering all three (their
+    exactness properties — subset-of-brute-force, identical cosines — are
+    pinned by pytest)."""
+    import pandas as pd
+
+    lsh = q_embeddings_lsh_knn(sf_dir)
+    ivf = q_embeddings_ivf_knn(sf_dir)
+    nd = q_embeddings_near_dupes_lsh(sf_dir)
+    parts = [
+        pd.DataFrame(
+            {
+                "method": "lsh_knn",
+                "a": lsh["query_idx"].astype("int64"),
+                "b": lsh["vec_id"].astype("int64"),
+                "val": np.floor(lsh["cos"] * 10_000 + 0.5).astype("int64"),
+            }
+        ),
+        pd.DataFrame(
+            {
+                "method": "ivf_knn",
+                "a": ivf["query_idx"].astype("int64"),
+                "b": ivf["vec_id"].astype("int64"),
+                "val": np.floor(ivf["cos"] * 10_000 + 0.5).astype("int64"),
+            }
+        ),
+        pd.DataFrame(
+            {
+                "method": "near_dupes_lsh",
+                "a": nd["a"].astype("int64"),
+                "b": nd["b"].astype("int64"),
+                "val": nd["cos_bp"].astype("int64"),
+            }
+        ),
+    ]
+    return pd.concat(parts, ignore_index=True)
 
 
 def q_embeddings_near_dupes(sf_dir: str):
@@ -1049,6 +1144,8 @@ QUERIES = {
     "purchase_asof_click": q_purchase_asof_click,
     "events_rolling_sum": q_events_rolling_sum,
     "events_value_bands": q_events_value_bands,
+    "events_tumbling": q_events_tumbling,
+    "events_hopping": q_events_hopping,
     "docs_regex_route": q_docs_regex_route,
     "docs_token_counts": q_docs_token_counts,
     "docs_word_freq_topk": q_docs_word_freq_topk,
@@ -1104,9 +1201,9 @@ QUERIES = {
     "docs_simhash_near_dupes": q_docs_simhash_near_dupes,
     "docs_langid": q_docs_langid,
     "docs_fingerprints": q_docs_fingerprints,
-    "embeddings_lsh_knn": q_embeddings_lsh_knn,
-    "embeddings_ivf_knn": q_embeddings_ivf_knn,
-    "embeddings_near_dupes_lsh": q_embeddings_near_dupes_lsh,
+    # the three approximate-ANN paths consolidated into one tagged union
+    # (audit-cap discipline; pytest pins their exactness properties)
+    "embeddings_ann_approx": q_embeddings_ann_approx,
     "media_features": q_media_features,
     "evaluator_drain": q_evaluator_drain,
     # evaluator_fixture is pytest-owned (tests/test_extras.py) — not
@@ -1170,6 +1267,23 @@ ORACLE = {
         "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
         "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
         ") WHERE event_type = 'purchase' AND click_id IS NOT NULL"
+    ),
+    "events_tumbling": (
+        "SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS win_start, "
+        "event_type, count(*) AS n, "
+        "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents "
+        "FROM events GROUP BY 1, 2"
+    ),
+    "events_hopping": (
+        "SELECT win_start, event_type, count(*) AS n, "
+        "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents "
+        "FROM ("
+        "  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS win_start, "
+        "    event_type, value FROM events "
+        "  UNION ALL "
+        "  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 - 300 AS win_start, "
+        "    event_type, value FROM events"
+        ") GROUP BY 1, 2"
     ),
     "docs_regex_route": (
         "SELECT CASE "

@@ -100,6 +100,51 @@ def test_molfi_unavailable(logdir, tmp_path):
         MoLFI.LogParser(fixtures.RAWLOG_FORMAT, logdir, str(tmp_path))
 
 
+def test_syslog_format_end_to_end(ray_session, tmp_path):
+    """A third log FORMAT (RFC3164 syslog-style: 'Mon DD HH:MM:SS host
+    proc[pid]: msg') through the compat stack — host and the proc[pid]
+    token as separate header fields."""
+    import numpy as np
+
+    rng = np.random.default_rng(73)
+    hosts = ["web01", "web02", "db01"]
+    shapes = [
+        ("session opened for user u{}", (500,)),
+        ("connection from 10.0.0.{} port {}", (255, 65000)),
+        ("segfault at {} ip {} sp {}", (9999, 9999, 9999)),
+    ]
+    lines = []
+    for i in range(300):
+        tmpl, maxes = shapes[rng.integers(0, len(shapes))]
+        content = tmpl.format(*[int(rng.integers(1, m)) for m in maxes])
+        lines.append(
+            f"Aug 17 04:{i % 60:02d}:{(i * 7) % 60:02d} "
+            f"{hosts[rng.integers(0, 3)]} app[{int(rng.integers(100, 999))}]: {content}"
+        )
+    d = tmp_path / "logs"
+    os.makedirs(d)
+    with open(d / "sys.log", "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    from logparser_ray.compat import Drain
+
+    parser = Drain.LogParser(
+        "<Month> <Day> <Time> <Host> <Proc>: <Content>",
+        str(d),
+        str(tmp_path / "out"),
+        rex=[r"\d+"],
+        depth=4,
+        st=0.5,
+    )
+    parser.parse("sys.log")
+    s = pd.read_csv(tmp_path / "out" / "sys.log_structured.csv")
+    t = pd.read_csv(tmp_path / "out" / "sys.log_templates.csv")
+    assert len(s) == 300
+    assert set(s["Host"]) <= set(hosts)
+    assert 3 <= len(t) <= 6
+    assert t["Occurrences"].sum() == 300
+
+
 def test_apache_format_end_to_end(ray_session, tmp_path):
     """A second log FORMAT (bracketed apache-style) through the whole compat
     stack — proving the header DSL variety works end to end, not just at
