@@ -347,19 +347,104 @@ def _with_ntok(ds, text_col: str):
 def iplom_fit(
     ds, *, text_col: str = "text", ct: float = 0.35, lower_bound: float = 0.25
 ) -> PatternBank:
-    """Step 1 = the ``groupby(n_tokens)`` shuffle; steps 2–4 run per group."""
+    """Fully distributed IPLoM: step 1 (token count) AND step 2 (lowest-
+    cardinality position split) are both shuffle keys.
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        seqs = [t.split(" ") for t in g[text_col]]
-        mined = mine_group(seqs, ct=ct, lower_bound=lower_bound)
-        return pd.DataFrame(
-            {"template": [" ".join(t) for t, _ in mined], "n": [n for _, n in mined]}
+    The split position per token count is chosen by a distributed
+    cardinality pass (distinct (ntok, pos, tok) → count per (ntok, pos) —
+    the tiny result drives the key choice on the driver, identical to the
+    in-memory ``_split_lowest_cardinality`` choice). The main shuffle then
+    groups by ``(n_tokens, token@split_pos)`` — each group is one STEP-2
+    PARTITION, so no whole token-count group ever materializes on a single
+    worker (r1 skew bound); steps 3–4 run per partition, and identical
+    templates from different partitions collapse in a final tiny groupby.
+    Remaining bound: one (n_tokens, split-token) partition per worker.
+    """
+    from ray.data.aggregate import Count
+
+    from logparser_ray.core.iplom import _split_bijection, _template_of
+
+    def pos_token_counts(batch: pa.Table) -> pa.Table:
+        toks = _token_lists(batch, text_col)
+        offsets = np.asarray(toks.offsets)
+        lengths = offsets[1:] - offsets[:-1]
+        flat = toks.flatten()
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(offsets[:-1], lengths)
+        ntok = np.repeat(lengths, lengths)
+        t = pa.table(
+            {
+                "ntok": pa.array(ntok.astype(np.int32)),
+                "pos": pa.array(pos.astype(np.int32)),
+                "tok": flat,
+            }
+        )
+        return (
+            t.group_by(["ntok", "pos", "tok"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["ntok", "pos", "tok", "_c"])
         )
 
+    uniq = (
+        ds.select_columns([text_col])
+        .map_batches(pos_token_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["ntok", "pos", "tok"])
+        .aggregate(Count(alias_name="_dup"))
+    )
+    cards = (
+        uniq.drop_columns(["_dup"])  # groupby already dropped the _c payload
+        .groupby(["ntok", "pos"])
+        .aggregate(Count(alias_name="card"))
+        .to_pandas()  # ≤ token-lengths × positions rows — tiny
+    )
+    split_pos: dict[int, int] = {}
+    for ntok_val, grp in cards.groupby("ntok"):
+        cand = grp[grp["card"] > 1]
+        if len(cand):
+            best = cand.sort_values(["card", "pos"]).iloc[0]
+            split_pos[int(ntok_val)] = int(best["pos"])
+        else:
+            split_pos[int(ntok_val)] = -1  # all-constant group: no split
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        toks = _token_lists(batch, text_col)
+        offsets = np.asarray(toks.offsets)
+        lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        posarr = (
+            pd.Series(lengths).map(split_pos).fillna(-1).to_numpy(dtype=np.int64)
+        )
+        key = np.where(
+            posarr >= 0, flat[offsets[:-1] + np.clip(posarr, 0, None)], ""
+        )
+        return pa.table(
+            {
+                text_col: batch[text_col],
+                "n_tokens": pa.array(lengths.astype(np.int32)),
+                "skey": pa.array(key.astype(object), pa.string()),
+            }
+        )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        seqs = [t.split(" ") for t in g[text_col]]
+        templates = []
+        for p3 in _split_bijection(seqs, ct=ct, lower_bound=lower_bound):
+            templates.append((_template_of(p3), len(p3)))
+        return pd.DataFrame(
+            {
+                "template": [" ".join(t) for t, _ in templates],
+                "n": [n for _, n in templates],
+            }
+        )
+
+    leaves = (
+        ds.select_columns([text_col])
+        .map_batches(add_keys, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["n_tokens", "skey"])
+        .map_groups(per_part, batch_format="pandas")
+    )
     out = (
-        _with_ntok(ds, text_col)
-        .groupby("n_tokens")
-        .map_groups(per_group, batch_format="pandas")
+        leaves.groupby("template")
+        .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
         .sort_values(["n", "template"], ascending=[False, True])
     )

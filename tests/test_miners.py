@@ -280,3 +280,28 @@ def test_tree_merge_matches_small_and_is_deterministic(ray_session):
     mined = {t.template for t in b1}
     truth = {t.template for t in fixture_bank}
     assert len(mined & truth) >= 6
+
+
+def test_iplom_distributed_split_equals_in_memory(ray_session):
+    """The distributed (n_tokens, split-token) shuffle must produce exactly
+    the bank the in-memory mine_group reference computes: same split-
+    position choice, same step-3/4 leaves, same counts."""
+    from collections import Counter, defaultdict
+
+    from logparser_ray.core.iplom import mine_group
+    from logparser_ray.stages.mine import iplom_fit
+
+    ds = _transcripts_ds(ray_session)
+    got = iplom_fit(ds)
+
+    texts = [r["text"] for r in ds.take_all()]
+    by_len = defaultdict(list)
+    for t in texts:
+        by_len[len(t.split(" "))].append(t.split(" "))
+    want: Counter = Counter()
+    for _n, seqs in by_len.items():
+        for tmpl, cnt in mine_group(seqs):
+            want[" ".join(tmpl)] += cnt
+    want_sorted = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    got_list = [(t.template, None) for t in got]
+    assert [t for t, _ in got_list] == [t for t, _ in want_sorted]
