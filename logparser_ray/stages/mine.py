@@ -31,7 +31,7 @@ import pyarrow.compute as pc
 import ray
 from ray.data.aggregate import Sum
 
-from logparser_ray.core.ael import abstract_bin, bin_key, reconcile
+from logparser_ray.core.ael import reconcile
 from logparser_ray.core.bank import WILDCARD, PatternBank, Template
 from logparser_ray.core.drain import Drain
 from logparser_ray.core.iplom import mine_group
@@ -206,15 +206,14 @@ def slct_fit(ds, *, text_col: str = "text", support: int = 10) -> PatternBank:
 def _bigram_keys(toks: pa.ListArray) -> pa.Array:
     offsets = np.asarray(toks.offsets)
     lengths = offsets[1:] - offsets[:-1]
-    flat = toks.flatten().to_numpy(zero_copy_only=False)
-    prev = np.empty(len(flat), dtype=object)
-    prev[1:] = flat[:-1]
-    starts = offsets[:-1][lengths > 0]
-    prev[starts] = "^"
-    joined = np.char.add(
-        np.char.add(prev.astype("U"), _SEP), flat.astype("U")
-    ).astype(object)
-    return pa.array(joined, pa.string())
+    flat = toks.flatten()
+    n = len(flat)
+    # previous token = flat shifted one right; row starts get the "^" anchor
+    prev = flat.take(pa.array(np.maximum(np.arange(n, dtype=np.int64) - 1, 0)))
+    starts = np.zeros(n, dtype=bool)
+    starts[offsets[:-1][lengths > 0]] = True
+    prev = pc.if_else(pa.array(starts), "^", prev)
+    return pc.binary_join_element_wise(prev, flat, _SEP)
 
 
 def logram_fit(ds, *, text_col: str = "text", threshold: int = 10) -> PatternBank:
@@ -454,35 +453,55 @@ def iplom_fit(
 
 
 def ael_fit(ds, *, text_col: str = "text", merge_pct: float = 0.1) -> PatternBank:
-    """Bin by (n_tokens, n_dynamic) → abstract per bin → reconcile globally."""
+    """Bin by (n_tokens, n_dynamic) → abstract → reconcile globally.
 
-    def add_bin(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        keys = [bin_key(t.split(" ")) for t in texts]
-        return pa.table(
+    Categorize + abstract are ONE vectorized pass: dynamic tokens
+    (digit/``=`` heuristic, ``core.ael.is_dynamic``) wildcard via a single
+    ``match_substring_regex`` over the flat token stream, skeletons rebuild
+    with ``binary_join``, and the bin structure collapses into a
+    ``groupby(n_tokens, n_dyn, skeleton).count`` — no per-row Python and no
+    per-bin pandas materialization (the r1 version looped ``bin_key`` over
+    every row and held each bin in one worker's frame). Reconcile (step 3)
+    stays driver-side over the tiny template set, fed in a deterministic
+    (n_tokens, n_dyn, −count, skeleton) order.
+    """
+
+    def skeletons(batch: pa.Table) -> pa.Table:
+        toks = _token_lists(batch, text_col)
+        offsets = np.asarray(toks.offsets)
+        lengths = (offsets[1:] - offsets[:-1]).astype(np.int32)
+        flat = toks.flatten()
+        dyn = pc.match_substring_regex(flat, r"[0-9=]")
+        skel_flat = pc.if_else(dyn, WILDCARD, flat)
+        skel = pc.binary_join(pa.ListArray.from_arrays(toks.offsets, skel_flat), " ")
+        ndyn = np.add.reduceat(
+            np.asarray(dyn, dtype=np.int64), offsets[:-1]
+        ).astype(np.int32) if len(lengths) else np.zeros(0, np.int32)
+        t = pa.table(
             {
-                text_col: batch[text_col],
-                "n_tokens": pa.array([k[0] for k in keys], pa.int32()),
-                "n_dyn": pa.array([k[1] for k in keys], pa.int32()),
+                "n_tokens": pa.array(lengths),
+                "n_dyn": pa.array(ndyn),
+                "skeleton": skel,
             }
         )
-
-    def per_bin(g: pd.DataFrame) -> pd.DataFrame:
-        seqs = [t.split(" ") for t in g[text_col]]
-        mined = abstract_bin(seqs)
-        return pd.DataFrame(
-            {"template": [" ".join(t) for t, _ in mined], "n": [n for _, n in mined]}
+        agg = t.group_by(["n_tokens", "n_dyn", "skeleton"]).aggregate(
+            [([], "count_all")]
         )
+        return agg.rename_columns(["n_tokens", "n_dyn", "skeleton", "n"])
 
-    binned = (
+    counts = (
         ds.select_columns([text_col])
-        .map_batches(add_bin, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["n_tokens", "n_dyn"])
-        .map_groups(per_bin, batch_format="pandas")
+        .map_batches(skeletons, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["n_tokens", "n_dyn", "skeleton"])
+        .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
+        .sort_values(
+            ["n_tokens", "n_dyn", "n", "skeleton"],
+            ascending=[True, True, False, True],
+        )
     )
     merged = reconcile(
-        [(t.split(" "), int(n)) for t, n in zip(binned["template"], binned["n"])],
+        [(s.split(" "), int(n)) for s, n in zip(counts["skeleton"], counts["n"])],
         merge_pct=merge_pct,
     )
     merged.sort(key=lambda tn: (-tn[1], " ".join(tn[0])))
