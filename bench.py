@@ -87,13 +87,30 @@ def run_bench() -> dict:
     res2["sink_counts"].count()
     timings["flagship_aggregate"] = round(time.perf_counter() - t0, 3)
 
+    # consumer path: read the LARGEST routed sink back through the packed
+    # manifest row-group index (S7 read side — what a downstream trainer does)
+    from logparser_ray.state.manifest import read_sink
+
+    sc = res["sink_counts"].to_pandas().sort_values("n_turns", ascending=False)
+    top = sc.iloc[0]
+    t0 = time.perf_counter()
+    n_read = read_sink(
+        out_dir,
+        {"role": top.role, "tool": top.tool, "template_id": top.template_id},
+    ).count()
+    timings["read_sink_largest"] = round(time.perf_counter() - t0, 3)
+    assert n_read == top.n_turns, (n_read, top.n_turns)
+
     subprocess.run(["sync"])  # drain routed-write writeback before per-query timings
     for name in (
         "lineitem_pricing",
         "events_sessionize",
+        "events_tumbling",
+        "revenue_by_nation",
         "docs_word_freq_topk",
         "embeddings_knn",
         "docs_unigram_near_dupes",
+        "media_features",
     ):
         t0 = time.perf_counter()
         r = QUERIES[name](SF_DIR)
