@@ -22,7 +22,10 @@ from logparser_ray.core.bank import WILDCARD
 
 
 def is_dynamic(token: str) -> bool:
-    return any(ch.isdigit() for ch in token) or "=" in token
+    # ASCII digits only — matches the vectorized Arrow regex [0-9=] in
+    # stages/mine.py:ael_fit exactly (str.isdigit would also hit Unicode
+    # digits and silently diverge from the distributed path)
+    return any("0" <= ch <= "9" for ch in token) or "=" in token
 
 
 def bin_key(tokens: list[str]) -> tuple[int, int]:

@@ -127,10 +127,11 @@ def q_docs_regex_route(sf_dir: str):
 
 
 def q_docs_token_counts(sf_dir: str):
+    """Whitespace + BPE-ish-regex token counts per doc (both SQL-oracled)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(
         token_count_batch, batch_format="pyarrow", zero_copy_batch=True
-    ).select_columns(["doc_id", "n_tok"])
+    ).select_columns(["doc_id", "n_tok", "n_tok_bpe"])
 
 
 def q_docs_word_freq_topk(sf_dir: str):
@@ -1294,7 +1295,9 @@ ORACLE = {
         "FROM documents GROUP BY route"
     ),
     "docs_token_counts": (
-        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents"
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, "
+        "CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) "
+        "AS BIGINT) AS n_tok_bpe FROM documents"
     ),
     "docs_word_freq_topk": (
         "SELECT tok, count(*) AS n FROM "

@@ -39,11 +39,23 @@ def _per_list_sum(mask: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     return cums[offsets[1:]] - cums[offsets[:-1]]
 
 
+# BPE-ish pre-tokenizer: word pieces OR single non-word-non-space marks —
+# the split most byte-pair tokenizers apply before merges (kept RE2- and
+# DuckDB-compatible; GPT-2's exact pattern needs lookaheads RE2 lacks)
+BPE_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Whitespace token count per row (SQL parity: len(string_split(text,' ')))."""
-    toks = _tokens(batch[text_col].combine_chunks())
-    return batch.append_column(
+    """Token counts per row: whitespace (``n_tok`` — SQL parity:
+    len(string_split(text,' '))) and BPE-ish regex pieces (``n_tok_bpe`` —
+    SQL parity: len(regexp_extract_all(text, BPE_RE)))."""
+    texts = batch[text_col].combine_chunks()
+    toks = _tokens(texts)
+    out = batch.append_column(
         "n_tok", pc.cast(pc.list_value_length(toks), pa.int64())
+    )
+    return out.append_column(
+        "n_tok_bpe", pc.cast(pc.count_substring_regex(texts, BPE_RE), pa.int64())
     )
 
 
