@@ -21,20 +21,56 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count, Min, Sum
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
-def exact_dedup_representatives(ds, id_col: str = "doc_id", text_col: str = "text"):
+def exact_dedup_representatives(
+    ds, id_col: str = "doc_id", text_col: str = "text", by: str = "hash"
+):
     """One representative (min id) + copy count per distinct text value.
 
     SQL parity: ``SELECT min(id), count(*) FROM t GROUP BY text``.
+
+    ``by="hash"`` (default, the 100 TB path): group on a 128-bit content
+    hash (two independent 64-bit keyed hashes) with a per-batch combiner, so
+    the shuffle ships ~24 B/row instead of the full text (collision odds at
+    10¹² rows ≈ 10²⁴/2¹²⁹ ≈ 10⁻¹⁵ — far below hardware error rates).
+    ``by="text"`` groups on the raw text (byte-exact, ships the text).
     """
-    out = ds.groupby(text_col).aggregate(
-        Min(id_col, alias_name=id_col), Count(alias_name="n_copies")
+    if by == "text":
+        out = ds.groupby(text_col).aggregate(
+            Min(id_col, alias_name=id_col), Count(alias_name="n_copies")
+        )
+        return out.drop_columns([text_col])
+
+    def hash_partial(b: pa.Table) -> pa.Table:
+        texts = b[text_col].combine_chunks().to_numpy(zero_copy_only=False)
+        h1 = pd.util.hash_array(texts, hash_key="rayparse-dedup-1")  # 16-byte keys
+        h2 = pd.util.hash_array(texts, hash_key="rayparse-dedup-2")
+        t = pa.table(
+            {
+                "_h1": pa.array(h1.view(np.int64)),
+                "_h2": pa.array(h2.view(np.int64)),
+                id_col: b[id_col],
+                "n_copies": pa.array(np.ones(len(texts), np.int64)),
+            }
+        )
+        agg = t.group_by(["_h1", "_h2"]).aggregate(
+            [(id_col, "min"), ("n_copies", "sum")]
+        )
+        return agg.rename_columns(["_h1", "_h2", id_col, "n_copies"])
+
+    out = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(hash_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["_h1", "_h2"])
+        .aggregate(
+            Min(id_col, alias_name=id_col), Sum("n_copies", alias_name="n_copies")
+        )
     )
-    return out.drop_columns([text_col])
+    return out.drop_columns(["_h1", "_h2"])
 
 
 def _shingle_hashes(texts: np.ndarray, k: int) -> list[np.ndarray]:
