@@ -110,6 +110,28 @@ def write_structured_csv(ds_or_table, path: str, *, headers: list[str] | None = 
     return path
 
 
+def read_structured_csv(path: str | list[str]):
+    """Read a reference ``_structured.csv`` back into a ``Dataset`` with the
+    engine's native column names (EventId → template_id etc.) — the
+    evaluator's upstream input path († the benchmark harness evaluates
+    parsers by reading their ``_structured.csv`` against the ground-truth
+    one). ``ParameterList`` stays a string literal (CSV has no list type).
+    """
+    import ray
+
+    ds = ray.data.read_csv(path)
+
+    def rename(b: pa.Table) -> pa.Table:
+        back = {
+            "EventId": "template_id",
+            "EventTemplate": "template",
+            "ParameterList": "params_literal",
+        }
+        return b.rename_columns([back.get(c, c) for c in b.column_names])
+
+    return ds.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def write_templates_csv(ds, path: str) -> str:
     """Write ``_templates.csv``: EventId, EventTemplate, Occurrences sorted
     by occurrences desc († ``outputResult()``; SURVEY.md S5, O2).

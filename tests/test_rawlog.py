@@ -58,3 +58,67 @@ def test_rawlog_mine_match_csv_roundtrip(ray_session, parsed, tmp_path):
     assert list(t.columns) == ["EventId", "EventTemplate", "Occurrences"]
     assert t["Occurrences"].sum() == len(s)
     assert (t["Occurrences"].values == sorted(t["Occurrences"].values, reverse=True)).all()
+
+
+def test_read_structured_csv_roundtrip(ray_session, tmp_path):
+    """write_structured_csv → read_structured_csv restores native names and
+    row identity (the upstream evaluator's CSV input path)."""
+    from logparser_ray import fixtures
+    from logparser_ray.sources.rawlog import (
+        read_raw_log,
+        read_structured_csv,
+        write_structured_csv,
+    )
+    from logparser_ray.stages.parse import match_stage
+
+    path, _ = fixtures.ensure_rawlog(n_lines=200)
+    parsed = read_raw_log(path, fixtures.RAWLOG_FORMAT)
+    ok = parsed.filter(expr="_quarantined == False").drop_columns(["_quarantined"])
+    matched = match_stage(ok, fixtures.pattern_bank(), text_col="Content")
+    csv_path = str(tmp_path / "x_structured.csv")
+    write_structured_csv(matched, csv_path)
+    back = read_structured_csv(csv_path).to_pandas()
+    orig = matched.to_pandas()
+    assert len(back) == len(orig)
+    assert {"template_id", "template", "params_literal", "LineId"} <= set(back.columns)
+    b = back.sort_values("LineId").reset_index(drop=True)
+    o = orig.sort_values("LineId").reset_index(drop=True)
+    assert (b["template_id"] == o["template_id"]).all()
+
+
+def test_jsonl_transcript_source(ray_session, tmp_path):
+    """JSONL turns (ISO ts strings + missing tool) land in the canonical
+    transcript schema and flow through the flagship parse stage."""
+    import json as _json
+
+    from logparser_ray.sources.jsonl import TRANSCRIPT_SCHEMA, read_transcripts_jsonl
+    from logparser_ray import fixtures
+    from logparser_ray.stages.parse import match_stage
+
+    iso_rows = [
+        {"conv_id": "c1", "turn_idx": 0, "role": "user", "text": "Session started",
+         "ts": "2026-08-17T01:02:03"},
+        {"conv_id": "c1", "turn_idx": 1, "role": "assistant",
+         "text": "Tool bash returned exit code 0 in 12 ms", "tool": "bash",
+         "ts": "2026-08-17T01:02:04", "extra_key": "dropped"},
+    ]
+    epoch_rows = [
+        {"conv_id": "c2", "turn_idx": 0, "role": "user", "text": "Heartbeat ok",
+         "ts": 1765000000},
+    ]
+    p1, p2 = tmp_path / "iso.jsonl", tmp_path / "epoch.jsonl"
+    for p, rows in ((p1, iso_rows), (p2, epoch_rows)):
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+    tbl = read_transcripts_jsonl(str(p1)).to_pandas()
+    assert list(tbl.columns) == TRANSCRIPT_SCHEMA.names
+    assert len(tbl) == 2
+    assert tbl["tool"].isna().sum() == 1  # missing tool stays null
+    assert str(tbl["ts"].iloc[0]).startswith("2026-08-17 01:02:03")
+    tbl2 = read_transcripts_jsonl(str(p2)).to_pandas()
+    assert str(tbl2["ts"].iloc[0]).startswith("2025-12")  # epoch secs decoded
+    matched = match_stage(
+        read_transcripts_jsonl(str(p1)), fixtures.pattern_bank(), with_params=False
+    ).to_pandas()
+    assert (matched["template_id"] != "").all()
