@@ -1,0 +1,114 @@
+"""Mergeable streaming sketches (build-brief custom operators): heavy
+hitters and approximate distinct counts over unbounded key streams.
+
+Both follow the engine's canonical combine shape — a vectorized per-batch
+partial inside ``map_batches`` emitting a TINY summary table, merged on the
+driver (or a tree at 10⁶ blocks) — so the full stream never shuffles:
+
+- **SpaceSaving heavy hitters** (Metwally, Agrawal, El Abbadi, ICDT 2005):
+  per-batch exact counts collapse to the batch's top-(k·slack) entries plus
+  the batch's maximum evicted count as the error bound. Merged sketch
+  guarantees: every key with true count > N/k is present, and each reported
+  count is within [true, true + err].
+- **KMV distinct-count** (Bar-Yossef et al., RANDOM 2002 "k minimum
+  values"): per-batch k smallest 64-bit key hashes; union-merge keeps the k
+  smallest overall; estimate = (k − 1) / max_kth_normalized. Mergeable by
+  construction; relative error ~ 1/√k.
+
+The reference has no sketches (single-machine exact counts); these are
+engine extras for the 100 TB regime where exact global top-k/distinct of a
+high-cardinality key would shuffle the world.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+# ---------------------------------------------------------------------------
+# SpaceSaving heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def heavy_hitters(ds, col: str, k: int = 20, slack: int = 8) -> pd.DataFrame:
+    """Approximate top-``k`` values of ``col`` with per-key error bounds.
+
+    Each batch keeps its exact top-``k·slack`` counts plus one META row
+    carrying the batch's eviction ceiling (the largest evicted count — an
+    upper bound on any absent key's in-batch count). Merge:
+
+    - ``count_min(v)`` = Σ kept counts — never overcounts.
+    - ``count_max(v)`` = count_min + Σ ceilings of batches where ``v`` was
+      NOT kept — never undercounts.
+
+    So ``count_min ≤ true ≤ count_max`` for every reported key, and any key
+    whose true count exceeds the total eviction ceiling is guaranteed to be
+    reported (it must have been kept somewhere). Summary size per batch is
+    ``k·slack + 1`` rows — the stream itself never shuffles.
+    """
+    cap = k * slack
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"v": pa.array(b[col].combine_chunks().cast(pa.string()))})
+        counts = (
+            t.group_by(["v"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["v", "n"])
+            .to_pandas()
+            .sort_values(["n", "v"], ascending=[False, True])
+        )
+        kept = counts.head(cap)
+        err = int(counts["n"].iloc[cap:].max()) if len(counts) > cap else 0
+        return pa.table(
+            {
+                "v": pa.array(list(kept["v"]) + [None], pa.string()),
+                "n": pa.array(
+                    np.concatenate([kept["n"].to_numpy(np.int64), [0]])
+                ),
+                "err": pa.array(np.full(len(kept) + 1, err, np.int64)),
+            }
+        )
+
+    parts = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    meta = parts[parts["v"].isna()]
+    total_err = int(meta["err"].sum())
+    keys = parts[parts["v"].notna()]
+    merged = keys.groupby("v", as_index=False).agg(
+        count_min=("n", "sum"), err_seen=("err", "sum")
+    )
+    merged["count_max"] = merged["count_min"] + (total_err - merged["err_seen"])
+    merged = merged.sort_values(["count_max", "v"], ascending=[False, True]).head(k)
+    return merged[["v", "count_min", "count_max"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct count
+# ---------------------------------------------------------------------------
+
+
+def approx_distinct(ds, col: str, k: int = 1024) -> dict:
+    """KMV estimate of ``count(DISTINCT col)`` with ~1/√k relative error.
+
+    Returns ``{"estimate": float, "k": int, "exact_below_k": bool}`` —
+    when fewer than ``k`` distinct hashes exist the count is exact.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        vals = b[col].combine_chunks().cast(pa.string()).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(vals, hash_key="rayparse-kmv-000")
+        u = np.unique(h)  # sorted ascending
+        return pa.table({"h": pa.array(u[:k].view(np.int64))})
+
+    parts = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    u = np.unique(parts["h"].to_numpy().view(np.uint64))
+    if len(u) < k:
+        return {"estimate": float(len(u)), "k": k, "exact_below_k": True}
+    kth = u[k - 1]
+    est = (k - 1) / (float(kth) / float(2**64 - 1))
+    return {"estimate": float(est), "k": k, "exact_below_k": False}

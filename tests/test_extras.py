@@ -399,3 +399,53 @@ def test_enrich_actor_pool_path(ray_session):
     a = pooled.sort_values(key).reset_index(drop=True)
     b = tasked.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_heavy_hitters_bounds_and_coverage(ray_session):
+    """SpaceSaving-style merge: count_min <= true <= count_max for every
+    reported key, and the true top-k are all reported (Zipf-ish stream,
+    multiple blocks)."""
+    import numpy as np
+    import ray
+
+    from logparser_ray.stages.sketch import heavy_hitters
+
+    rng = np.random.default_rng(41)
+    # Zipf-ish: key i appears ~ 5000/(i+1) times
+    vals = np.concatenate(
+        [np.full(max(1, 5000 // (i + 1)), f"key{i:04d}") for i in range(400)]
+    )
+    rng.shuffle(vals)
+    t = pa.table({"v": pa.array(vals.astype(object), pa.string())})
+    ds = ray.data.from_arrow(t).repartition(num_blocks=8)
+
+    got = heavy_hitters(ds, "v", k=10, slack=8)
+    import collections
+
+    true = collections.Counter(vals)
+    for _, row in got.iterrows():
+        assert row["count_min"] <= true[row["v"]] <= row["count_max"], row
+    top_true = {v for v, _ in true.most_common(10)}
+    assert top_true <= set(got["v"])
+
+
+def test_approx_distinct_error_and_exact_path(ray_session):
+    import numpy as np
+    import ray
+
+    from logparser_ray.stages.sketch import approx_distinct
+
+    # exact path: fewer distincts than k
+    small = pa.table({"v": pa.array([f"x{i}" for i in range(300)] * 3)})
+    ds_small = ray.data.from_arrow(small).repartition(num_blocks=4)
+    r = approx_distinct(ds_small, "v", k=1024)
+    assert r["exact_below_k"] and r["estimate"] == 300
+
+    # estimate path: 50k distincts, k=1024 → ~3% stddev; allow 15%
+    big = pa.table(
+        {"v": pa.array([f"u{i}" for i in range(50_000)], pa.string())}
+    )
+    ds_big = ray.data.from_arrow(big).repartition(num_blocks=8)
+    r2 = approx_distinct(ds_big, "v", k=1024)
+    assert not r2["exact_below_k"]
+    assert abs(r2["estimate"] - 50_000) / 50_000 < 0.15, r2
