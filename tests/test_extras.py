@@ -449,3 +449,31 @@ def test_approx_distinct_error_and_exact_path(ray_session):
     r2 = approx_distinct(ds_big, "v", k=1024)
     assert not r2["exact_below_k"]
     assert abs(r2["estimate"] - 50_000) / 50_000 < 0.15, r2
+
+
+def test_sessionize_bucketed_equals_naive(ray_session):
+    """The hot-key-safe bucketed sessionization must equal the naive
+    single-group scan exactly — including sessions spanning bucket
+    boundaries and users with gaps across EMPTY buckets."""
+    import ray
+
+    from logparser_ray.queries import q_events_sessionize
+    from logparser_ray.stages.windows import sessionize_bucketed
+
+    sf = "/root/testdata/sf0.01"
+    naive = (
+        q_events_sessionize(sf).to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    ds = ray.data.read_parquet(
+        sf + "/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    # small bucket (1h) forces many cross-boundary continuations
+    got = (
+        sessionize_bucketed(ds, gap_s=1800.0, bucket_s=3600)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(naive)
+    assert (got["user_id"].to_numpy() == naive["user_id"].to_numpy()).all()
+    assert (got["n_sessions"].to_numpy() == naive["n_sessions"].to_numpy()).all()
