@@ -179,7 +179,6 @@ def minhash_near_dupes(
     bands: int = 16,
     rows_per_band: int = 4,
     threshold: float = 0.8,
-    concurrency=None,
     verify: str = "inline",
 ):
     """Full MinHash-LSH near-dup pipeline → pandas DataFrame of verified pairs
@@ -215,19 +214,21 @@ def minhash_near_dupes(
     # in-memory — cheap), NOT from bands_ds.count(), which would execute the
     # MinHasher stage a second time just to size blocks
     n_docs = ds.count()
+
+    def minhash_batch(b: pa.Table) -> pa.Table:
+        # stateless task, not an actor pool: MinHasher's only state is the
+        # (a, b) permutation vectors — microseconds to rebuild per batch —
+        # and plain tasks scale to every free CPU with zero pool spin-up
+        # (the (1, 4) pool's startup dominated the stage at bench scale)
+        return MinHasher(
+            k=k,
+            bands=bands,
+            rows_per_band=rows_per_band,
+            emit_shingles=verify == "inline",
+        )(b)
+
     bands_ds = ds.select_columns(["doc_id", "text"]).map_batches(
-        MinHasher,
-        fn_constructor_kwargs={
-            "k": k,
-            "bands": bands,
-            "rows_per_band": rows_per_band,
-            "emit_shingles": verify == "inline",
-        },
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency or (1, 4),  # autoscaling: a FIXED pool of 4 can
-        # reserve every CPU of a small cluster and starve the upstream read
-        # task (deadlock); min=1 always leaves room
+        minhash_batch, batch_format="pyarrow", zero_copy_batch=True
     )
     n_blocks = max(4, min(64, (n_docs * bands) // 50_000 + 4))
 
