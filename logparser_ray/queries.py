@@ -946,18 +946,6 @@ def q_media_features(sf_dir: str):
     return featurize_media(ds, decoder="real")
 
 
-def _miner_query(fit):
-    """Mined-template bank over the transcripts fixture (rows-only check;
-    semantics covered by tests/test_miners.py accuracy assertions)."""
-
-    def q(sf_dir: str):
-        tdir, _ = fixtures.ensure_transcripts(min(_turns_for(sf_dir), 60_000))
-        ds = ray.data.read_parquet(tdir)
-        return fit(ds).to_arrow()
-
-    return q
-
-
 def _miner_union_query(fits: dict):
     """Tagged union of several miner banks over the transcripts fixture —
     one driver-audited entry covering each miner in ``fits`` (keeps every

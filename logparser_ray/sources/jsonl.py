@@ -29,9 +29,11 @@ TRANSCRIPT_SCHEMA = pa.schema(
 def read_transcripts_jsonl(path: str | list[str]):
     """``Dataset`` of transcript turns from JSONL file(s).
 
-    ``ts`` accepts ISO-8601 strings or epoch seconds/millis (numbers);
-    missing ``tool`` stays null. Extra JSON keys are dropped — the canonical
-    schema is the contract downstream stages compile against.
+    ``ts`` accepts ISO-8601 strings (fractional seconds and a trailing
+    ``Z``/UTC-offset are handled; offsets are DROPPED — timestamps are
+    treated as UTC wall time) or epoch seconds/millis (numbers); missing
+    ``tool`` stays null. Extra JSON keys are dropped — the canonical schema
+    is the contract downstream stages compile against.
     """
     import ray
 
@@ -46,7 +48,12 @@ def read_transcripts_jsonl(path: str | list[str]):
             col = b[name].combine_chunks()
             if name == "ts" and not pa.types.is_timestamp(col.type):
                 if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-                    col = pc.strptime(col, format="%Y-%m-%dT%H:%M:%S", unit="us")
+                    # strip zone suffix, then Arrow's ISO cast (accepts
+                    # fractional seconds; strptime's fixed format does not)
+                    bare = pc.replace_substring_regex(
+                        col, r"(Z|[+-]\d{2}:?\d{2})$", ""
+                    )
+                    col = pc.cast(bare, pa.timestamp("us"))
                 else:
                     # epoch seconds (float/int); millis if implausibly large
                     secs = pc.cast(col, pa.float64())

@@ -202,17 +202,12 @@ def minhash_near_dupes(
     """
     if verify not in ("inline", "join"):
         raise ValueError(verify)
-    # The shuffle strategy lives in the context captured by the ROOT dataset
-    # at creation, so flip it there (restored in finally).
     from ray.data.context import ShuffleStrategy
-
-    root_ctx = ds.context
-    prev_strategy = root_ctx.shuffle_strategy
-    root_ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
 
     # size the bucket shuffle from the input row count (parquet metadata /
     # in-memory — cheap), NOT from bands_ds.count(), which would execute the
-    # MinHasher stage a second time just to size blocks
+    # MinHasher stage a second time just to size blocks. Counted BEFORE the
+    # strategy flip so an exception here can't leak HASH_SHUFFLE.
     n_docs = ds.count()
 
     def minhash_batch(b: pa.Table) -> pa.Table:
@@ -232,6 +227,11 @@ def minhash_near_dupes(
     )
     n_blocks = max(4, min(64, (n_docs * bands) // 50_000 + 4))
 
+    # The shuffle strategy lives in the context captured by the ROOT dataset
+    # at creation; flip it as late as possible and restore in finally.
+    root_ctx = ds.context
+    prev_strategy = root_ctx.shuffle_strategy
+    root_ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     try:
         if verify == "inline":
             out = _near_dupes_inline(bands_ds, n_blocks, threshold)
@@ -262,10 +262,13 @@ def _near_dupes_inline(bands_ds, n_blocks: int, threshold: float) -> pd.DataFram
         for ids, blobs in zip(
             agg["doc_id_list"].to_pylist(), agg["sh_list"].to_pylist()
         ):
-            if len(ids) < 2 or len(ids) > 200:  # cap pathological buckets
+            if len(ids) < 2:
                 continue
             by_id = dict(zip(ids, blobs))
-            u = sorted(by_id)
+            # deterministic truncation of pathological buckets (smallest ids
+            # kept) — a mega dup group implies O(m²) pairs no pair listing
+            # avoids; truncating beats silently dropping the whole bucket
+            u = sorted(by_id)[:200]
             if len(u) < 2:
                 continue
             for i in range(len(u)):
@@ -300,8 +303,8 @@ def _near_dupes_join(
         agg = b.group_by(["band_id", "band_hash"]).aggregate([("doc_id", "list")])
         out_a, out_b = [], []
         for ids in agg["doc_id_list"].to_pylist():
-            u = sorted(set(ids))
-            if len(u) < 2 or len(u) > 200:  # cap pathological buckets
+            u = sorted(set(ids))[:200]  # deterministic mega-bucket truncation
+            if len(u) < 2:
                 continue
             for i in range(len(u)):
                 for j in range(i + 1, len(u)):
@@ -337,17 +340,19 @@ def _near_dupes_join(
             }
         )
 
-    def sh_ds():
-        return ds.select_columns(["doc_id", "text"]).map_batches(
-            shingles_of, batch_format="pyarrow", zero_copy_batch=True
-        )
+    # materialize the (small: id + packed-hash) shingle table ONCE — both
+    # joins consume it, and separate lineages would scan + hash the corpus
+    # twice for identical results
+    sh = ds.select_columns(["doc_id", "text"]).map_batches(
+        shingles_of, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
 
     # the join drops the right key column (doc_id) from its output
     j = pairs_ds.join(
-        sh_ds(), "inner", num_partitions=n_join, on=("a",), right_on=("doc_id",)
+        sh, "inner", num_partitions=n_join, on=("a",), right_on=("doc_id",)
     ).rename_columns({"sh": "sh_a"})
     j = j.join(
-        sh_ds(), "inner", num_partitions=n_join, on=("b",), right_on=("doc_id",)
+        sh, "inner", num_partitions=n_join, on=("b",), right_on=("doc_id",)
     ).rename_columns({"sh": "sh_b"})
 
     def verify_batch(b: pa.Table) -> pa.Table:
@@ -414,7 +419,12 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 
 
 def simhash_near_dupes(
-    ds, *, max_hamming: int = 3, bands: int = 4, id_col: str = "doc_id"
+    ds,
+    *,
+    max_hamming: int = 3,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    max_bucket: int = 500,
 ):
     """All pairs with simhash Hamming distance ≤ ``max_hamming`` — the
     banded SimHash near-dup path.
@@ -422,7 +432,12 @@ def simhash_near_dupes(
     Pigeonhole: with ``bands`` equal 64/bands-bit bands and
     ``max_hamming < bands``, any qualifying pair agrees exactly on ≥ 1 band
     — so candidate generation (bucket shuffle on (band_id, band_value)) has
-    recall 1 and the output is the EXACT qualifying pair set, deterministic.
+    recall 1 and the output is the EXACT qualifying pair set, deterministic
+    **as long as every bucket fits ``max_bucket``**. Buckets beyond that are
+    truncated to their ``max_bucket`` smallest ids (deterministic, NOT
+    silently skipped): a dup group of size m implies O(m²) output pairs, so
+    no exact pair LISTING can avoid the quadratic blowup — for massive
+    exact-dup groups use ``simhash_clusters`` (group representation) instead.
     Same one-shuffle shape as the MinHash inline verify: the full signature
     rides with each band row; buckets verify Hamming in place (vectorized
     XOR + SWAR popcount); the returned frame is deduped driver-side.
@@ -454,10 +469,7 @@ def simhash_near_dupes(
 
     from ray.data.context import ShuffleStrategy
 
-    root_ctx = ds.context
-    prev_strategy = root_ctx.shuffle_strategy
-    root_ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    n_docs = ds.count()
+    n_docs = ds.count()  # before the strategy flip — can't leak on failure
 
     def pairs_in_block(b: pa.Table) -> pa.Table:
         agg = b.group_by(["band_id", "band_val"]).aggregate(
@@ -467,13 +479,16 @@ def simhash_near_dupes(
         for ids, sigs in zip(
             agg[f"{id_col}_list"].to_pylist(), agg["sig_list"].to_pylist()
         ):
-            if len(ids) < 2 or len(ids) > 500:  # cap pathological buckets
+            if len(ids) < 2:
                 continue
             order = np.argsort(ids)
             u_ids = np.asarray(ids, np.int64)[order]
             u_sig = np.asarray(sigs, np.int64).view(np.uint64)[order]
             keep = np.concatenate([[True], u_ids[1:] != u_ids[:-1]])
             u_ids, u_sig = u_ids[keep], u_sig[keep]
+            if len(u_ids) > max_bucket:
+                # deterministic truncation (smallest ids) — see docstring
+                u_ids, u_sig = u_ids[:max_bucket], u_sig[:max_bucket]
             m = len(u_ids)
             if m < 2:
                 continue
@@ -490,6 +505,9 @@ def simhash_near_dupes(
             }
         )
 
+    root_ctx = ds.context
+    prev_strategy = root_ctx.shuffle_strategy
+    root_ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     try:
         n_blocks = max(4, min(64, (n_docs * bands) // 50_000 + 4))
         out = (

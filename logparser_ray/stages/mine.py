@@ -131,6 +131,19 @@ def _tree_merge_banks(miner: str, params: dict | None, banks) -> PatternBank:
 _SEP = "\x00"
 
 
+def _bank_from_counts(tcounts: pd.DataFrame, support: int | None = None) -> PatternBank:
+    """(template, n) frame → priority-ordered bank; robust to the EMPTY
+    frame a filtered-to-nothing Dataset produces (schema-less — no columns)."""
+    if "template" not in tcounts.columns or not len(tcounts):
+        return PatternBank([])
+    if support is not None:
+        tcounts = tcounts[tcounts["n"] >= support]
+    tcounts = tcounts.sort_values(["n", "template"], ascending=[False, True])
+    return PatternBank(
+        [Template.from_string(t, prio) for prio, t in enumerate(tcounts["template"])]
+    )
+
+
 def _token_lists(batch: pa.Table, text_col: str) -> pa.ListArray:
     return pc.split_pattern(batch[text_col].combine_chunks(), " ")
 
@@ -168,7 +181,11 @@ def slct_fit(ds, *, text_col: str = "text", support: int = 10) -> PatternBank:
         .aggregate(Sum("n", alias_name="n"))
     )
     freq_tbl = counts.filter(expr=f"n >= {support}").to_pandas()
-    frequent = ray.put(pa.array(freq_tbl["key"], pa.string()))
+    # an empty filter result yields a schema-less frame (no 'key' column);
+    # empty frequent set is legitimate — every token wildcards
+    frequent = ray.put(
+        pa.array(freq_tbl["key"] if "key" in freq_tbl.columns else [], pa.string())
+    )
 
     def templatize(batch: pa.Table) -> pa.Table:
         fset = ray.get(frequent)
@@ -190,12 +207,7 @@ def slct_fit(ds, *, text_col: str = "text", support: int = 10) -> PatternBank:
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
     )
-    tcounts = tcounts[tcounts["n"] >= support].sort_values(
-        ["n", "template"], ascending=[False, True]
-    )
-    return PatternBank(
-        [Template.from_string(t, prio) for prio, t in enumerate(tcounts["template"])]
-    )
+    return _bank_from_counts(tcounts, support=support)
 
 
 # ---------------------------------------------------------------------------
@@ -233,8 +245,9 @@ def logram_fit(ds, *, text_col: str = "text", threshold: int = 10) -> PatternBan
         .groupby("key")
         .aggregate(Sum("n", alias_name="n"))
     )
+    freq_tbl = counts.filter(expr=f"n >= {threshold}").to_pandas()
     freq = ray.put(
-        pa.array(counts.filter(expr=f"n >= {threshold}").to_pandas()["key"], pa.string())
+        pa.array(freq_tbl["key"] if "key" in freq_tbl.columns else [], pa.string())
     )
 
     def templatize(batch: pa.Table) -> pa.Table:
@@ -255,11 +268,8 @@ def logram_fit(ds, *, text_col: str = "text", threshold: int = 10) -> PatternBan
         .groupby("template")
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
-        .sort_values(["n", "template"], ascending=[False, True])
     )
-    return PatternBank(
-        [Template.from_string(t, prio) for prio, t in enumerate(tcounts["template"])]
-    )
+    return _bank_from_counts(tcounts)
 
 
 # ---------------------------------------------------------------------------
@@ -319,11 +329,8 @@ def lfa_fit(ds, *, text_col: str = "text") -> PatternBank:
         .groupby("template")
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
-        .sort_values(["n", "template"], ascending=[False, True])
     )
-    return PatternBank(
-        [Template.from_string(t, prio) for prio, t in enumerate(tcounts["template"])]
-    )
+    return _bank_from_counts(tcounts)
 
 
 # ---------------------------------------------------------------------------
@@ -445,11 +452,8 @@ def iplom_fit(
         leaves.groupby("template")
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
-        .sort_values(["n", "template"], ascending=[False, True])
     )
-    return PatternBank(
-        [Template.from_string(t, prio) for prio, t in enumerate(out["template"])]
-    )
+    return _bank_from_counts(out)
 
 
 def ael_fit(ds, *, text_col: str = "text", merge_pct: float = 0.1) -> PatternBank:
@@ -542,8 +546,9 @@ def logcluster_fit(ds, *, text_col: str = "text", support: int = 10) -> PatternB
         .groupby("tok")
         .aggregate(Sum("n", alias_name="n"))
     )
+    freq_tbl = counts.filter(expr=f"n >= {support}").to_pandas()
     freq = ray.put(
-        pa.array(counts.filter(expr=f"n >= {support}").to_pandas()["tok"], pa.string())
+        pa.array(freq_tbl["tok"] if "tok" in freq_tbl.columns else [], pa.string())
     )
 
     def templatize(batch: pa.Table) -> pa.Table:

@@ -298,6 +298,8 @@ class MediaResizer:
     """
 
     def __init__(self, target_w: int = 224, target_h: int = 224, decoder: str = "fake"):
+        if decoder not in ("fake", "real"):
+            raise ValueError(decoder)
         self.w, self.h = target_w, target_h
         self.decoder = decoder
 
@@ -339,6 +341,8 @@ class FrameSampler:
     """
 
     def __init__(self, n_frames: int = 4, decoder: str = "fake"):
+        if decoder not in ("fake", "real"):
+            raise ValueError(decoder)
         self.n_frames = n_frames
         self.decoder = decoder
 

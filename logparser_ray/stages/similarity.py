@@ -66,7 +66,7 @@ class BatchTopK:
         )
 
 
-def brute_force_topk(ds, query: np.ndarray, k: int = 5, concurrency=None):
+def brute_force_topk(ds, query: np.ndarray, k: int = 5):
     """Global cosine top-k per query row of ``query`` (2-D: nq × d).
 
     Returns a pandas DataFrame (query_idx, vec_id, cos rounded 4), sorted by

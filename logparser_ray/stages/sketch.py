@@ -25,6 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 # ---------------------------------------------------------------------------
@@ -51,7 +52,10 @@ def heavy_hitters(ds, col: str, k: int = 20, slack: int = 8) -> pd.DataFrame:
     cap = k * slack
 
     def partial(b: pa.Table) -> pa.Table:
-        t = pa.table({"v": pa.array(b[col].combine_chunks().cast(pa.string()))})
+        # nulls become an explicit "<null>" key so the META marker row (an
+        # is_meta flag, one per batch) can never collide with a data value
+        col_s = pc.fill_null(b[col].combine_chunks().cast(pa.string()), "<null>")
+        t = pa.table({"v": col_s})
         counts = (
             t.group_by(["v"])
             .aggregate([([], "count_all")])
@@ -63,20 +67,21 @@ def heavy_hitters(ds, col: str, k: int = 20, slack: int = 8) -> pd.DataFrame:
         err = int(counts["n"].iloc[cap:].max()) if len(counts) > cap else 0
         return pa.table(
             {
-                "v": pa.array(list(kept["v"]) + [None], pa.string()),
+                "v": pa.array(list(kept["v"]) + [""], pa.string()),
                 "n": pa.array(
                     np.concatenate([kept["n"].to_numpy(np.int64), [0]])
                 ),
                 "err": pa.array(np.full(len(kept) + 1, err, np.int64)),
+                "is_meta": pa.array([False] * len(kept) + [True]),
             }
         )
 
     parts = ds.select_columns([col]).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     ).to_pandas()
-    meta = parts[parts["v"].isna()]
+    meta = parts[parts["is_meta"]]
     total_err = int(meta["err"].sum())
-    keys = parts[parts["v"].notna()]
+    keys = parts[~parts["is_meta"]]
     merged = keys.groupby("v", as_index=False).agg(
         count_min=("n", "sum"), err_seen=("err", "sum")
     )

@@ -477,3 +477,33 @@ def test_sessionize_bucketed_equals_naive(ray_session):
     assert len(got) == len(naive)
     assert (got["user_id"].to_numpy() == naive["user_id"].to_numpy()).all()
     assert (got["n_sessions"].to_numpy() == naive["n_sessions"].to_numpy()).all()
+
+
+def test_simhash_mega_bucket_truncates_not_skips(ray_session):
+    """A dup group larger than max_bucket must still yield pairs among the
+    kept (smallest-id) members — previously the whole bucket was silently
+    skipped and massive dup groups returned ZERO pairs."""
+    import ray
+
+    n = 30
+    texts = ["same exact duplicated text here okay"] * n
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()), "text": texts})
+    got = dedup.simhash_near_dupes(
+        ray.data.from_arrow(t), max_hamming=3, bands=4, max_bucket=10
+    )
+    kept = set(range(10))  # smallest ids kept per bucket
+    want = {(a, b) for a in kept for b in kept if a < b}
+    assert set(zip(got["a"], got["b"])) == want
+
+
+def test_heavy_hitters_null_values_do_not_collide_with_meta(ray_session):
+    import ray
+
+    from logparser_ray.stages.sketch import heavy_hitters
+
+    t = pa.table({"v": pa.array(["x"] * 50 + [None] * 80 + ["y"] * 10, pa.string())})
+    ds = ray.data.from_arrow(t).repartition(num_blocks=3)
+    got = heavy_hitters(ds, "v", k=3, slack=4)
+    row = got[got["v"] == "<null>"]
+    assert len(row) == 1
+    assert row["count_min"].iloc[0] <= 80 <= row["count_max"].iloc[0]

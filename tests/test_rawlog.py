@@ -97,10 +97,10 @@ def test_jsonl_transcript_source(ray_session, tmp_path):
 
     iso_rows = [
         {"conv_id": "c1", "turn_idx": 0, "role": "user", "text": "Session started",
-         "ts": "2026-08-17T01:02:03"},
+         "ts": "2026-08-17T01:02:03.123456Z"},  # fractional + Z suffix
         {"conv_id": "c1", "turn_idx": 1, "role": "assistant",
          "text": "Tool bash returned exit code 0 in 12 ms", "tool": "bash",
-         "ts": "2026-08-17T01:02:04", "extra_key": "dropped"},
+         "ts": "2026-08-17T01:02:04+00:00", "extra_key": "dropped"},
     ]
     epoch_rows = [
         {"conv_id": "c2", "turn_idx": 0, "role": "user", "text": "Heartbeat ok",
