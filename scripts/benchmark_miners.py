@@ -86,9 +86,50 @@ def main() -> int:
             f"templates={len(bank):3d}  fit={fit_s:6.2f}s"
         )
     df = pd.DataFrame(rows)
+    df["corpus"] = "transcripts"
+    print(f"\ntranscripts mean accuracy: {df['accuracy'].mean():.4f}")
+
+    # second conformance family (VERDICT r1 Missing #4 — accuracy must not
+    # rest on one grammar): HDFS-like labeled corpus, same settings dict
+    corpus, hgold, _bank = fixtures.make_labeled_corpus("hdfs", n_lines=n)
+    hdir = os.path.join(fixtures.transcripts_cache_dir(), f"hdfs_n{n}.parquet")
+    fixtures.ensure_parquet(corpus, hdir)
+    htruth = hgold.select(["line_id", "template_id"]).to_pandas()
+    htruth = htruth.rename(columns={"template_id": "event_id"})
+    hrows = []
+    for name, fit in settings.items():
+        ds = ray.data.read_parquet(hdir)
+        t0 = time.perf_counter()
+        bank = fit(ds)
+        fit_s = time.perf_counter() - t0
+        parsed = (
+            match_stage(ds, bank, with_params=False)
+            .select_columns(["line_id", "template_id"])
+            .to_pandas()
+            .rename(columns={"template_id": "event_id"})
+        )
+        r = evaluate_pandas(htruth, parsed, key=["line_id"])
+        hrows.append(
+            {
+                "miner": name,
+                "accuracy": round(r.accuracy, 4),
+                "f1": round(r.f1, 4),
+                "templates": len(bank),
+                "fit_s": round(fit_s, 2),
+                "corpus": "hdfs",
+            }
+        )
+        print(
+            f"hdfs {name:12s} acc={r.accuracy:6.4f}  f1={r.f1:6.4f}  "
+            f"templates={len(bank):3d}  fit={fit_s:6.2f}s"
+        )
+    hdf = pd.DataFrame(hrows)
+    print(f"\nhdfs mean accuracy: {hdf['accuracy'].mean():.4f}")
+
+    both = pd.concat([df, hdf], ignore_index=True)
     out = "/tmp/rayparse_miner_benchmark.csv"
-    df.to_csv(out, index=False)
-    print(f"\nmean accuracy: {df['accuracy'].mean():.4f}  → {out}")
+    both.to_csv(out, index=False)
+    print(f"overall mean accuracy: {both['accuracy'].mean():.4f}  → {out}")
     ray.shutdown()
     return 0
 

@@ -305,3 +305,31 @@ def test_iplom_distributed_split_equals_in_memory(ray_session):
     want_sorted = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
     got_list = [(t.template, None) for t in got]
     assert [t for t, _ in got_list] == [t for t, _ in want_sorted]
+
+
+def test_hdfs_family_drain_recovers_grammar(ray_session):
+    """Second conformance family (F7): Drain must recover the HDFS-like
+    grammar perfectly (distinct constant skeletons, single-token slots)."""
+    import ray
+
+    from logparser_ray.core.evaluator import evaluate_pandas
+
+    corpus, golden, bank_true = fixtures.make_labeled_corpus("hdfs", n_lines=1_000)
+    ds = ray.data.from_arrow(corpus)
+    bank = mine.fit_bank(ds, "drain", params={"depth": 4, "st": 0.5})
+    parsed = (
+        match_stage(ds, bank, with_params=False)
+        .select_columns(["line_id", "template_id"])
+        .to_pandas()
+        .rename(columns={"template_id": "event_id"})
+    )
+    truth = (
+        golden.select(["line_id", "template_id"])
+        .to_pandas()
+        .rename(columns={"template_id": "event_id"})
+    )
+    r = evaluate_pandas(truth, parsed, key=["line_id"])
+    assert r.accuracy >= 0.95
+    mined = {t.template for t in bank}
+    truth_templates = {t.template for t in bank_true}
+    assert len(mined & truth_templates) >= 6
