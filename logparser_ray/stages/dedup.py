@@ -376,6 +376,57 @@ def _near_dupes_join(
     return j.map_batches(verify_batch, batch_format="pyarrow", batch_size=None).to_pandas()
 
 
+def near_dup_clusters(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Connected components over near-dup pairs → ``(doc_id, cluster_id)``
+    with ``cluster_id`` = the component's smallest doc id.
+
+    Runs driver-side union-find: the pair list is OUTPUT-scale (bounded by
+    the verified near-dup count), orders of magnitude below corpus scale —
+    the standard final step of every MinHash dedup pipeline. Only docs that
+    appear in some pair are returned (singletons are their own implicit
+    cluster)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["a"].astype(int), pairs["b"].astype(int)):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    ids = sorted(set(pairs["a"].astype(int)) | set(pairs["b"].astype(int)))
+    return pd.DataFrame(
+        {"doc_id": ids, "cluster_id": [find(i) for i in ids]}, dtype=np.int64
+    )
+
+
+def drop_near_dupes(ds, pairs: pd.DataFrame, id_col: str = "doc_id"):
+    """Filter a corpus to one representative (smallest id) per near-dup
+    cluster — the dedup pipeline's actual deliverable.
+
+    The drop-set (non-representative member ids) is broadcast once via
+    ``ray.put`` and applied as a vectorized anti-membership filter per
+    batch; the corpus itself streams."""
+    clusters = near_dup_clusters(pairs)
+    drop_ids = clusters.loc[
+        clusters["doc_id"] != clusters["cluster_id"], "doc_id"
+    ].to_numpy(np.int64)
+    drop_ref = ray.put(pa.array(drop_ids))
+
+    def keep(b: pa.Table) -> pa.Table:
+        drop = ray.get(drop_ref)
+        member = pc.is_in(b[id_col], value_set=drop)
+        return b.filter(pc.invert(member))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 class SimHasher:
     """map_batches fn: 64-bit simhash over token hashes → ``simhash`` column."""
 

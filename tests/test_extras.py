@@ -507,3 +507,16 @@ def test_heavy_hitters_null_values_do_not_collide_with_meta(ray_session):
     row = got[got["v"] == "<null>"]
     assert len(row) == 1
     assert row["count_min"].iloc[0] <= 80 <= row["count_max"].iloc[0]
+
+
+def test_near_dup_clusters_and_drop(docs_with_dups):
+    """Pairs → connected components → corpus filtered to one representative
+    per cluster (transitive closure included)."""
+    import pandas as pd
+
+    pairs = pd.DataFrame({"a": [0, 1, 2], "b": [1, 4, 3]})  # {0,1,4} and {2,3}
+    cl = dedup.near_dup_clusters(pairs)
+    got = dict(zip(cl["doc_id"], cl["cluster_id"]))
+    assert got == {0: 0, 1: 0, 4: 0, 2: 2, 3: 2}
+    kept = dedup.drop_near_dupes(docs_with_dups, pairs).to_pandas()
+    assert sorted(kept["doc_id"]) == [0, 2]  # representatives only
