@@ -73,20 +73,54 @@ def exact_dedup_representatives(
     return out.drop_columns(["_h1", "_h2"])
 
 
-def _shingle_hashes(texts: np.ndarray, k: int) -> list[np.ndarray]:
-    """Per-doc arrays of hashed k-token shingles (vectorized over the flat
-    token stream; the only per-doc work is slicing)."""
-    split = [t.split(" ") if t else [] for t in texts]
+_SHINGLE_P = np.uint64(1099511628211)  # FNV prime — Horner combine multiplier
+
+
+def _shingle_hashes(texts, k: int) -> list[np.ndarray]:
+    """Per-doc arrays of hashed k-token shingles, built from the FLAT token
+    stream: one ``split_pattern`` + one ``hash_array`` over all tokens in the
+    batch, then a k-step Horner rolling combine (``h[i] = ((th[i]·P + th[i+1])
+    ·P + …)``) gives every k-shingle hash in k vector ops — no per-shingle
+    string joins, no per-doc Python beyond slicing. ``texts`` is an Arrow
+    string array (or ChunkedArray). Shingle IDENTITY is the hash value:
+    equal token sequences hash equal, distinct ones collide with 2⁻⁶⁴ odds —
+    set semantics (Jaccard) are unchanged vs hashing the joined strings.
+
+    Docs with fewer than ``k`` tokens contribute one whole-doc shingle
+    (Horner over all their tokens); null/empty texts hash like a single
+    empty token, matching ``split``'s one-empty-token result on ``""``."""
+    if isinstance(texts, np.ndarray):  # accept legacy numpy input
+        texts = pa.array(texts.tolist(), pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.split_pattern(texts, " ")
+    offsets = np.asarray(toks.offsets, dtype=np.int64)
+    flat = toks.flatten().to_numpy(zero_copy_only=False)
+    th = pd.util.hash_array(flat, hash_key="rayparse-shingle").astype(np.uint64)
+    n_flat = len(th)
+    if n_flat >= k:
+        acc = th[: n_flat - k + 1].copy()
+        for j in range(1, k):
+            acc = acc * _SHINGLE_P + th[j : n_flat - k + 1 + j]
+    else:
+        acc = np.empty(0, np.uint64)
+    empty_sentinel = pd.util.hash_array(
+        np.array([""], dtype=object), hash_key="rayparse-shingle"
+    ).astype(np.uint64)
     out: list[np.ndarray] = []
-    for toks in split:
-        if len(toks) < k:
-            sh = np.array([" ".join(toks)], dtype=object)
-        else:
-            sh = np.array(
-                [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)],
-                dtype=object,
-            )
-        out.append(pd.util.hash_array(sh, hash_key="rayparse-shingle").astype(np.uint64))
+    for i in range(len(offsets) - 1):
+        s, e = offsets[i], offsets[i + 1]
+        n_tok = e - s
+        if n_tok >= k:
+            # acc[s : e-k+1] never crosses into the next doc's tokens
+            out.append(acc[s : e - k + 1])
+        elif n_tok == 0:  # null text (split_pattern yields no tokens)
+            out.append(empty_sentinel)
+        else:  # short doc → one whole-doc shingle (mod-2⁶⁴ Horner, as above)
+            v = int(th[s])
+            for j in range(s + 1, e):
+                v = (v * 1099511628211 + int(th[j])) & 0xFFFFFFFFFFFFFFFF
+            out.append(np.array([v], np.uint64))
     return out
 
 
@@ -126,8 +160,7 @@ class MinHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        texts = batch["text"].to_numpy(zero_copy_only=False)
-        shingles = _shingle_hashes(texts, self.k)
+        shingles = _shingle_hashes(batch["text"], self.k)
         n = len(ids)
         band_hash = np.empty((n, self.bands), dtype=np.uint64)
         for i, sh in enumerate(shingles):
@@ -180,6 +213,7 @@ def minhash_near_dupes(
     rows_per_band: int = 4,
     threshold: float = 0.8,
     verify: str = "inline",
+    n_docs: int | None = None,
 ):
     """Full MinHash-LSH near-dup pipeline → pandas DataFrame of verified pairs
     ``(a, b, jaccard)`` sorted by (a, b). Fully distributed — nothing
@@ -207,8 +241,11 @@ def minhash_near_dupes(
     # size the bucket shuffle from the input row count (parquet metadata /
     # in-memory — cheap), NOT from bands_ds.count(), which would execute the
     # MinHasher stage a second time just to size blocks. Counted BEFORE the
-    # strategy flip so an exception here can't leak HASH_SHUFFLE.
-    n_docs = ds.count()
+    # strategy flip so an exception here can't leak HASH_SHUFFLE. Callers
+    # holding a DERIVED dataset (count() would re-execute its lineage) pass
+    # the size as the n_docs hint instead.
+    if n_docs is None:
+        n_docs = ds.count()
 
     def minhash_batch(b: pa.Table) -> pa.Table:
         # stateless task, not an actor pool: MinHasher's only state is the
@@ -329,8 +366,7 @@ def _near_dupes_join(
 
     def shingles_of(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        texts = b["text"].to_numpy(zero_copy_only=False)
-        hs = [np.unique(h) for h in _shingle_hashes(texts, k)]
+        hs = [np.unique(h) for h in _shingle_hashes(b["text"], k)]
         # packed as binary (uint64 LE bytes): Arrow's hash join rejects
         # list<> payload columns but carries var-len binary fine
         return pa.table(
@@ -476,6 +512,7 @@ def simhash_near_dupes(
     bands: int = 4,
     id_col: str = "doc_id",
     max_bucket: int = 500,
+    n_docs: int | None = None,
 ):
     """All pairs with simhash Hamming distance ≤ ``max_hamming`` — the
     banded SimHash near-dup path.
@@ -520,7 +557,8 @@ def simhash_near_dupes(
 
     from ray.data.context import ShuffleStrategy
 
-    n_docs = ds.count()  # before the strategy flip — can't leak on failure
+    if n_docs is None:  # hint avoids re-executing a derived lineage
+        n_docs = ds.count()  # before the strategy flip — can't leak on failure
 
     def pairs_in_block(b: pa.Table) -> pa.Table:
         agg = b.group_by(["band_id", "band_val"]).aggregate(

@@ -583,25 +583,15 @@ def logcluster_fit(ds, *, text_col: str = "text", support: int = 10) -> PatternB
 
 
 def _sample_texts(ds, text_col: str, n_sample: int, seed: int) -> list[str]:
-    """Deterministic sample for the O(n·k)/O(n²) miners: hash-order the rows
-    and take the first ``n_sample`` (stable across block structure, unlike
-    ``random_sample`` whose draw depends on partitioning)."""
+    """Deterministic sample for the O(n·k)/O(n²) miners: the ``n_sample``
+    rows with the smallest keyed text hash (stable across block structure,
+    unlike ``random_sample`` whose draw depends on partitioning). Computed
+    as a per-batch k-smallest combiner + tiny driver merge — NO global sort
+    (a corpus-wide all-to-all to draw 5k rows was the round-2 scale-killer)."""
+    from logparser_ray.stages.sample import sample_min_k_by_hash
 
-    def key_batch(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        texts = batch[text_col].combine_chunks()
-        h = pd.util.hash_array(
-            texts.to_numpy(zero_copy_only=False), hash_key=f"{seed:016d}"
-        )
-        return pa.table({text_col: texts, "_h": pa.array(h)})
-
-    sampled = (
-        ds.select_columns([text_col])
-        .map_batches(key_batch, batch_format="pyarrow", zero_copy_batch=True)
-        .sort("_h")
-        .limit(n_sample)
-        .to_pandas()
+    sampled = sample_min_k_by_hash(
+        ds, cols=[text_col], key_col=text_col, n=n_sample, seed=seed
     )
     return list(sampled[text_col])
 

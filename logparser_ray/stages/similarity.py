@@ -235,65 +235,45 @@ def embedding_near_dupes(
 # ---------------------------------------------------------------------------
 
 
-def kmeans_fit(ds, k: int = 16, iters: int = 10, seed: int = 7, id_col: str = "vec_id"):
-    """Distributed Lloyd's k-means over the embedding column.
+def kmeans_fit(
+    ds,
+    k: int = 16,
+    iters: int = 10,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    n_fit: int = 65_536,
+):
+    """IVF coarse-quantizer fit: Lloyd's k-means on a BOUNDED deterministic
+    sample of the embedding column.
 
-    Each iteration is ONE map_batches pass emitting per-batch partial sums
-    (centroid_id → vector sum + count) plus a tiny driver-side reduce —
-    the canonical broadcast-model / partial-aggregate iteration: centroids
-    (k×d floats) broadcast via ``ray.put``, row-scale data never leaves the
-    workers. Deterministic: centroids init from the ``k`` lexicographically
-    smallest ids' vectors.
+    Standard IVF practice — the coarse quantizer only needs a representative
+    sample, so the fit draws the ``n_fit`` rows with the smallest keyed id
+    hash (``sample_min_k_by_hash``: per-batch k-smallest combiner + tiny
+    driver merge — no global sort, no full-dataset ``materialize()``; the
+    round-2 version pinned the corpus-scale projection in the object store)
+    and runs vectorized Lloyd's in memory on the ``n_fit × d`` sample
+    matrix. Full-data assignment (``ivf_topk``) stays streaming.
+    Deterministic: the sample is a pure function of row values; centroids
+    init from the ``k`` smallest sampled ids' vectors.
     """
-    import pandas as pd
+    from logparser_ray.stages.sample import sample_min_k_by_hash
 
-    # materialize the projection ONCE: each Lloyd's iteration re-consumes it
-    # from the object store instead of re-reading parquet + re-normalizing
-    # (iters × scan was the dominant cost of ivf_knn — measured 6.4 s → ~2 s)
-    cols = ds.select_columns([id_col, "embedding"]).materialize()
-    # deterministic init: vectors of the k smallest ids
-    init = (
-        cols.sort(id_col)
-        .limit(k)
-        .to_pandas()["embedding"]
-        .tolist()
+    samp = sample_min_k_by_hash(
+        ds, cols=[id_col, "embedding"], key_col=id_col, n=n_fit, seed=seed
     )
-    centroids = _normalize(np.asarray(init, dtype=np.float64))
+    ids = samp[id_col].to_numpy()
+    emb = _normalize(np.asarray(samp["embedding"].tolist(), dtype=np.float64))
+    k = min(k, len(ids))
+    centroids = _normalize(emb[np.argsort(ids)[:k]].copy())
 
     for _ in range(iters):
-        cref = ray.put(centroids)
-
-        def partial(batch: pa.Table) -> pa.Table:
-            c = ray.get(cref)
-            emb = _normalize(_emb_matrix(batch["embedding"]))
-            assign = np.argmax(emb @ c.T, axis=1)
-            sums = np.zeros_like(c)
-            np.add.at(sums, assign, emb)
-            counts = np.bincount(assign, minlength=len(c)).astype(np.int64)
-            return pa.table(
-                {
-                    "cid": pa.array(np.arange(len(c), dtype=np.int32)),
-                    "vsum": pa.array(list(sums), pa.list_(pa.float64())),
-                    "n": pa.array(counts),
-                }
-            )
-
-        parts = pa.concat_tables(
-            [
-                ray.get(r)
-                for r in cols.map_batches(
-                    partial, batch_format="pyarrow", batch_size=None
-                ).to_arrow_refs()
-            ]
-        ).to_pandas()
-        agg_n = parts.groupby("cid")["n"].sum()
+        assign = np.argmax(emb @ centroids.T, axis=1)
+        sums = np.zeros_like(centroids)
+        np.add.at(sums, assign, emb)
+        counts = np.bincount(assign, minlength=k)
         new = centroids.copy()
-        for cid, grp in parts.groupby("cid"):
-            total = agg_n[cid]
-            if total == 0:
-                continue  # empty cluster keeps its centroid (deterministic)
-            s = np.sum(np.stack(grp["vsum"].to_list()), axis=0)
-            new[cid] = s / total
+        nz = counts > 0  # empty cluster keeps its centroid (deterministic)
+        new[nz] = sums[nz] / counts[nz, None]
         new = _normalize(new)
         if np.allclose(new, centroids, atol=1e-9):
             centroids = new

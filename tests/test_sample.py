@@ -1,0 +1,158 @@
+"""Tests for the no-shuffle deterministic sampler (stages/sample.py) and the
+round-3 rewires that consume it (_sample_texts, kmeans_fit) plus the
+vectorized shingle hashing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from logparser_ray.stages import dedup
+from logparser_ray.stages.sample import sample_min_k_by_hash
+
+
+def _items(texts):
+    import ray
+
+    return ray.data.from_items([{"text": t} for t in texts])
+
+
+def test_sampler_matches_global_hash_sort(ray_session):
+    """The combiner sample must be byte-identical to what an explicit global
+    sort by (keyed hash, value) would select."""
+    from logparser_ray.stages.mine import _sample_texts
+
+    texts = [f"msg {i % 7} value {i * 13 % 101}" for i in range(5000)]
+    got = _sample_texts(_items(texts).repartition(13), "text", 200, 42)
+    h = pd.util.hash_array(np.asarray(texts, dtype=object), hash_key=f"{42:016d}")
+    want = (
+        pd.DataFrame({"text": texts, "h": h})
+        .sort_values(["h", "text"], kind="mergesort")
+        .head(200)["text"]
+        .tolist()
+    )
+    assert got == want
+
+
+def test_sampler_partitioning_independent(ray_session):
+    from logparser_ray.stages.mine import _sample_texts
+
+    texts = [f"row {i} {'x' * (i % 5)}" for i in range(3000)]
+    a = _sample_texts(_items(texts).repartition(2), "text", 150, 7)
+    b = _sample_texts(_items(texts).repartition(17), "text", 150, 7)
+    assert a == b
+
+
+def test_sampler_never_global_sorts(ray_session, monkeypatch):
+    """The point of the rewrite: sampling must not invoke Dataset.sort (a
+    corpus-wide all-to-all at 10¹² rows)."""
+    import ray
+
+    def boom(self, *a, **k):  # pragma: no cover - should never run
+        raise AssertionError("global sort invoked by the sampler")
+
+    monkeypatch.setattr(ray.data.Dataset, "sort", boom)
+    out = sample_min_k_by_hash(
+        _items([f"t {i}" for i in range(1000)]),
+        cols=["text"],
+        key_col="text",
+        n=100,
+        seed=3,
+    )
+    assert len(out) == 100
+
+
+def test_kmeans_fit_no_materialize_no_sort(ray_session, monkeypatch):
+    """The IVF quantizer fit must stream: no full-projection materialize()
+    and no global sort anywhere in its lineage."""
+    import ray
+
+    from logparser_ray.stages.similarity import kmeans_fit
+
+    def boom_sort(self, *a, **k):  # pragma: no cover
+        raise AssertionError("Dataset.sort invoked by kmeans_fit")
+
+    def boom_mat(self, *a, **k):  # pragma: no cover
+        raise AssertionError("Dataset.materialize invoked by kmeans_fit")
+
+    monkeypatch.setattr(ray.data.Dataset, "sort", boom_sort)
+    monkeypatch.setattr(ray.data.Dataset, "materialize", boom_mat)
+    rng = np.random.default_rng(5)
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": rng.standard_normal(8).tolist()} for i in range(200)]
+    )
+    c = kmeans_fit(ds, k=6, iters=4)
+    assert c.shape == (6, 8)
+    assert np.allclose(np.linalg.norm(c, axis=1), 1.0)
+
+
+def test_kmeans_fit_bounded_sample_still_deterministic(ray_session):
+    import ray
+
+    from logparser_ray.stages.similarity import kmeans_fit
+
+    rng = np.random.default_rng(9)
+    rows = [
+        {"vec_id": i, "embedding": rng.standard_normal(8).tolist()} for i in range(500)
+    ]
+    ds = ray.data.from_items(rows)
+    c1 = kmeans_fit(ds, k=4, iters=6, n_fit=128)
+    c2 = kmeans_fit(ray.data.from_items(rows).repartition(9), k=4, iters=6, n_fit=128)
+    assert np.allclose(c1, c2)
+
+
+def test_shingle_hash_jaccard_equals_string_jaccard():
+    """The Horner rolling-combine shingle hashes must preserve set semantics:
+    Jaccard over hashed shingle sets == Jaccard over the string k-gram sets
+    (the regression pin for the round-3 vectorization)."""
+    rng = np.random.default_rng(0)
+    vocab = ["a", "bb", "ccc", "dd", "e", "ff"]
+    docs = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(1, 30))).tolist())
+        for _ in range(80)
+    ]
+    docs += ["", "single", "two words", "a b c d e"]
+    k = 3
+
+    def string_shingles(text):
+        toks = text.split(" ")
+        if len(toks) < k:  # whole-doc shingle, mirroring _shingle_hashes
+            return {tuple(toks)}
+        return set(zip(*[toks[m:] for m in range(k)]))
+
+    hs = dedup._shingle_hashes(pa.array(docs, pa.string()), k)
+    assert len(hs) == len(docs)
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            got = dedup._jaccard_packed(
+                np.unique(hs[i]).astype("<u8").tobytes(),
+                np.unique(hs[j]).astype("<u8").tobytes(),
+            )
+            sa, sb = string_shingles(docs[i]), string_shingles(docs[j])
+            want = len(sa & sb) / len(sa | sb)
+            assert got == pytest.approx(want, abs=1e-12), (i, j, docs[i], docs[j])
+
+
+def test_shingle_hashes_short_and_empty_docs():
+    """Docs shorter than k collapse to one whole-doc shingle; '' and a
+    1-token doc behave like their split() token lists."""
+    hs = dedup._shingle_hashes(pa.array(["", "one", "one two", "x y z w"], pa.string()), 3)
+    assert [len(h) for h in hs] == [1, 1, 1, 2]
+    # distinct short docs get distinct shingles
+    assert hs[1][0] != hs[2][0]
+
+
+def test_minhash_n_docs_hint_same_pairs(ray_session):
+    """Passing the n_docs hint (derived-dataset path) must not change results."""
+    import ray
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [{"doc_id": 0, "text": base}, {"doc_id": 1, "text": base}] + [
+        {"doc_id": i, "text": f"doc {i} filler words here {i}"} for i in range(2, 30)
+    ]
+    ds = ray.data.from_items(rows)
+    a = dedup.minhash_near_dupes(ds, k=2, bands=8, rows_per_band=2, threshold=0.5)
+    b = dedup.minhash_near_dupes(
+        ds, k=2, bands=8, rows_per_band=2, threshold=0.5, n_docs=len(rows)
+    )
+    pd.testing.assert_frame_equal(a, b)
