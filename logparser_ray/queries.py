@@ -176,28 +176,37 @@ def q_top_sources(sf_dir: str):
 
 
 def q_orders_customer_join(sf_dir: str):
-    """Broadcast-dim join (SURVEY.md J3): revenue per market segment, cents-exact."""
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_arrow_refs()
-    cust_tbl = pa.concat_tables([ray.get(r) for r in cust])
-    ref = ray.put(cust_tbl)
-    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    """Dim join (SURVEY.md J3): revenue per market segment, cents-exact.
+    ``attach_dim`` broadcasts the customer projection at this scale and
+    auto-falls-back to a distributed hash join past BROADCAST_MAX_BYTES
+    (customer grows with scale factor — VERDICT r02 #4)."""
+    from ray.data.aggregate import Sum
 
-    def join_agg(b: pa.Table) -> pa.Table:
-        dim = ray.get(ref)
-        idx = pc.index_in(b["o_custkey"], value_set=dim["c_custkey"].combine_chunks())
-        seg = dim["c_mktsegment"].combine_chunks().take(idx)
+    from logparser_ray.stages.joins import attach_dim
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    n_orders = orders.count()  # metadata-only on a root parquet read
+    with_seg = attach_dim(
+        orders,
+        cust,
+        fact_key="o_custkey",
+        dim_key="c_custkey",
+        dim_cols=["c_mktsegment"],
+        n_fact_rows=n_orders,
+    )
+
+    def part_agg(b: pa.Table) -> pa.Table:
         cents = np.floor(
             b["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
         ).astype(np.int64)
-        t = pa.table({"c_mktsegment": seg, "revenue_cents": pa.array(cents)})
+        t = pa.table({"c_mktsegment": b["c_mktsegment"], "revenue_cents": pa.array(cents)})
         agg = t.group_by(["c_mktsegment"]).aggregate(
             [([], "count_all"), ("revenue_cents", "sum")]
         )
         return agg.rename_columns(["c_mktsegment", "n_orders", "revenue_cents"])
 
-    from ray.data.aggregate import Sum
-
-    partial = ds.map_batches(join_agg, batch_format="pyarrow", zero_copy_batch=True)
+    partial = with_seg.map_batches(part_agg, batch_format="pyarrow", zero_copy_batch=True)
     return partial.groupby("c_mktsegment").aggregate(
         Sum("n_orders", alias_name="n_orders"),
         Sum("revenue_cents", alias_name="revenue_cents"),
@@ -362,43 +371,28 @@ def q_revenue_by_nation(sf_dir: str):
     version concat'd all of orders on the driver)."""
     from ray.data.aggregate import Sum
 
-    # true dims, composed on the driver: custkey → nation name (customer is
-    # the *smallest* fact-side table; its 2-column projection broadcasts)
-    cust = pa.concat_tables(
-        [ray.get(r) for r in _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_arrow_refs()]
-    )
-    nation = pa.concat_tables(
-        [ray.get(r) for r in _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_arrow_refs()]
-    )
-    ref = ray.put(
-        pa.table(
-            {
-                "c_custkey": cust["c_custkey"],
-                "n_name": nation["n_name"]
-                .combine_chunks()
-                .take(
-                    pc.index_in(
-                        cust["c_nationkey"],
-                        value_set=nation["n_nationkey"].combine_chunks(),
-                    )
-                ),
-            }
-        )
-    )
+    from logparser_ray.stages.joins import attach_dim
 
-    def order_nation(b: pa.Table) -> pa.Table:
-        dim = ray.get(ref)
-        idx = pc.index_in(b["o_custkey"], value_set=dim["c_custkey"].combine_chunks())
-        return pa.table(
-            {
-                "o_orderkey": b["o_orderkey"],
-                "n_name": dim["n_name"].combine_chunks().take(idx),
-            }
-        )
-
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
-        order_nation, batch_format="pyarrow", zero_copy_batch=True
-    )
+    # two dim hops, each size-guarded: orders ← customer (c_nationkey) is a
+    # broadcast lookup while customer fits, a distributed hash join past
+    # BROADCAST_MAX_BYTES (customer grows with sf — VERDICT r02 #4); then
+    # ← nation (n_name), 25 rows, always a broadcast
+    orders_ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    n_ord = orders_ds.count()  # metadata-only on a root parquet read
+    orders = attach_dim(
+        attach_dim(
+            orders_ds,
+            _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+            fact_key="o_custkey",
+            dim_key="c_custkey",
+            dim_cols=["c_nationkey"],
+            n_fact_rows=n_ord,
+        ),
+        _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]),
+        fact_key="c_nationkey",
+        dim_key="n_nationkey",
+        dim_cols=["n_name"],
+    ).select_columns(["o_orderkey", "n_name"])
 
     def li_partial(b: pa.Table) -> pa.Table:
         cents = np.floor(
@@ -422,12 +416,20 @@ def q_revenue_by_nation(sf_dir: str):
     # per-batch combiner only — no groupby(l_orderkey) barrier: sums
     # distribute across the join, so partial rows (≥1 per orderkey per
     # block) join fine and the per-nation aggregate finishes the reduction
-    li = _read(
+    li_ds = _read(
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
-    ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    n_li = li_ds.count()  # metadata-only
+    li = li_ds.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    from logparser_ray.stages.joins import join_num_partitions
 
     joined = li.join(
-        orders, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+        orders,
+        "inner",
+        num_partitions=join_num_partitions(n_li),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
     )
 
     def nation_partial(b: pa.Table) -> pa.Table:
@@ -486,32 +488,33 @@ def q_orders_monthly(sf_dir: str):
 def q_top_orders_per_segment(sf_dir: str):
     """Per-group top-k (windowed O2 variant): top 3 orders by price per
     market segment — groupby().map_groups with a deterministic tiebreak."""
-    cust = pa.concat_tables(
-        [ray.get(r) for r in _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_arrow_refs()]
-    )
-    ref = ray.put(cust)
-    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    from logparser_ray.stages.joins import attach_dim
 
-    def add_seg(b: pa.Table) -> pa.Table:
-        dim = ray.get(ref)
-        idx = pc.index_in(b["o_custkey"], value_set=dim["c_custkey"].combine_chunks())
-        seg = dim["c_mktsegment"].combine_chunks().take(idx)
-        cents = np.floor(
-            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
-        ).astype(np.int64)
-        return pa.table(
-            {
-                "c_mktsegment": seg,
-                "o_orderkey": b["o_orderkey"],
-                "price_cents": pa.array(cents),
-            }
-        )
+    orders_ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    n_ord = orders_ds.count()  # metadata-only
+    ds = attach_dim(
+        orders_ds,
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]),
+        fact_key="o_custkey",
+        dim_key="c_custkey",
+        dim_cols=["c_mktsegment"],
+        n_fact_rows=n_ord,
+    )
 
     def partial_topk(b: pa.Table) -> pd.DataFrame:
         # per-batch top-3 per segment: the combiner shape (a
         # groupby(segment).map_groups here would materialize ~1/5 of the
         # fact table in one worker's pandas frame)
-        g = b.to_pandas()
+        cents = np.floor(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        g = pd.DataFrame(
+            {
+                "c_mktsegment": b["c_mktsegment"].to_numpy(zero_copy_only=False),
+                "o_orderkey": b["o_orderkey"].to_numpy(zero_copy_only=False),
+                "price_cents": cents,
+            }
+        )
         return (
             g.sort_values(["price_cents", "o_orderkey"], ascending=[False, True])
             .groupby("c_mktsegment", sort=False)
@@ -519,8 +522,7 @@ def q_top_orders_per_segment(sf_dir: str):
         )
 
     candidates = (
-        ds.map_batches(add_seg, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(partial_topk, batch_format="pyarrow")
+        ds.map_batches(partial_topk, batch_format="pyarrow")
         .to_pandas()  # ≤ 3 × n_segments × n_blocks rows — tiny
     )
     out = (
@@ -545,16 +547,15 @@ def q_events_filter(sf_dir: str):
 
 
 def q_events_sessionize(sf_dir: str):
-    """Gap-based sessionization (windowed op per SURVEY.md §2.7 'ours')."""
+    """Gap-based sessionization (windowed op per SURVEY.md §2.7 'ours'),
+    through the hot-key-safe bucketed operator: per-(user, time-bucket)
+    partials + boundary merge, so one bot user's whole history never lands
+    on one worker (VERDICT r02 #8 — same oracle, scale-safe path; equality
+    with the naive per-user scan is pinned in tests/test_pipeline.py)."""
+    from logparser_ray.stages.windows import sessionize_bucketed
+
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
-
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gaps = g["ts"].diff().dt.total_seconds()
-        n_sessions = int((gaps.isna() | (gaps > 1800)).sum())
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions]})
-
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return sessionize_bucketed(ds, gap_s=1800.0)
 
 
 def q_events_avg_gap(sf_dir: str):
@@ -950,8 +951,8 @@ def _miner_union_query(fits: dict):
     """Tagged union of several miner banks over the transcripts fixture —
     one driver-audited entry covering each miner in ``fits`` (keeps every
     miner inside the driver's 50-entry audit cap; per-miner semantics are
-    pinned by tests/test_miners.py and, for SLCT/LFA, by the SQL-oracled
-    ``docs_slct_templates``/``docs_lfa_templates`` entries)."""
+    pinned by tests/test_miners.py and, for the four frequency miners, by
+    the SQL-oracled ``docs_freq_templates`` union)."""
 
     def q(sf_dir: str):
         tdir, _ = fixtures.ensure_transcripts(min(_turns_for(sf_dir), 60_000))
@@ -981,25 +982,37 @@ def _bank_out(bank) -> pa.Table:
     )
 
 
-def q_docs_slct_templates(sf_dir: str):
-    """SLCT (SURVEY.md A9) over the ``documents`` view, SQL-oracled: the
-    (position, word) support count → wildcard → template-count pipeline is
-    pure groupby-count + string reassembly, so DuckDB pins the semantics."""
-    from logparser_ray.stages.mine import slct_fit
+def q_docs_freq_templates(sf_dir: str):
+    """The four frequency miners — SLCT (SURVEY.md A9), LFA (A5), Logram
+    (A11) and LogCluster (A8) — over the ``documents`` view as ONE tagged
+    union, every branch SQL-oracled: each is pure groupby-count + threshold
+    + string reassembly, so DuckDB independently pins all four miners'
+    (priority, template_id, template) semantics. Replaces the round-2
+    ``docs_slct_templates``/``docs_lfa_templates`` pair and upgrades Logram
+    and LogCluster from rows-only (``miners_freq``) to fully oracled."""
+    from logparser_ray.stages.mine import (
+        lfa_fit,
+        logcluster_fit,
+        logram_fit,
+        slct_fit,
+    )
 
     ds = _read(sf_dir, "documents", columns=["text"])
     n = ds.count()
     support = max(2, (n + 249) // 250)  # ceil(n/250), ≥2 — scales with sf
-    return _bank_out(slct_fit(ds, support=support))
-
-
-def q_docs_lfa_templates(sf_dir: str):
-    """LFA (SURVEY.md A5) over ``documents``, SQL-oracled (498 templates at
-    sf0.01 — a rich independent check of the token-frequency miner)."""
-    from logparser_ray.stages.mine import lfa_fit
-
-    ds = _read(sf_dir, "documents", columns=["text"])
-    return _bank_out(lfa_fit(ds))
+    fits = {
+        "lfa": lambda: lfa_fit(ds),
+        "logcluster": lambda: logcluster_fit(ds, support=support),
+        "logram": lambda: logram_fit(ds, threshold=support),
+        "slct": lambda: slct_fit(ds, support=support),
+    }
+    parts = []
+    for name in sorted(fits):
+        t = _bank_out(fits[name]())
+        parts.append(
+            t.add_column(0, "miner", pa.array([name] * t.num_rows, pa.string()))
+        )
+    return pa.concat_tables(parts)
 
 
 def _fit_drain(ds):
@@ -1155,8 +1168,7 @@ QUERIES = {
     "events_union_extremes": q_events_union_extremes,
     "embeddings_knn": q_embeddings_knn,
     "embeddings_near_dupes": q_embeddings_near_dupes,
-    "docs_slct_templates": q_docs_slct_templates,
-    "docs_lfa_templates": q_docs_lfa_templates,
+    "docs_freq_templates": q_docs_freq_templates,
     # miner fits over the transcripts fixture, consolidated into 4 tagged
     # unions so all 13 miners run under the driver's 50-entry audit cap
     # (rows-only: order-dependent/iterative, not SQL-expressible over views)
@@ -1384,41 +1396,64 @@ ORACLE = {
         ") * 10000 + 0.5) AS BIGINT) AS cos_bp "
         "FROM embeddings e ORDER BY cos_bp DESC, e.vec_id ASC LIMIT 5"
     ),
-    "docs_slct_templates": (
+    "docs_freq_templates": (
+        # one UNION ALL over four independent re-derivations: SLCT
+        # ((n_tokens, pos, word) support keys), LFA (per-row max token
+        # frequency), LogCluster (position-independent frequent words, both
+        # thresholds), Logram (bigram dictionary with '^' row-start anchor)
         "WITH docs AS (SELECT row_number() OVER () AS rid, "
         "  string_split(text, ' ') AS toks FROM documents), "
         "sup AS (SELECT greatest(2, CAST((count(*) + 249) // 250 AS BIGINT)) AS s "
         "  FROM documents), "
         "flat AS (SELECT rid, len(toks) AS ntok, unnest(toks) AS tok, "
         "  generate_subscripts(toks, 1) AS pos FROM docs), "
-        "freq AS (SELECT ntok, pos, tok FROM flat GROUP BY ntok, pos, tok "
+        "slct_freq AS (SELECT ntok, pos, tok FROM flat GROUP BY ntok, pos, tok "
         "  HAVING count(*) >= (SELECT s FROM sup)), "
-        "tmpl AS (SELECT flat.rid, string_agg(CASE WHEN f.tok IS NOT NULL "
+        "slct_tmpl AS (SELECT flat.rid, string_agg(CASE WHEN f.tok IS NOT NULL "
         "  THEN flat.tok ELSE '<*>' END, ' ' ORDER BY flat.pos) AS template "
-        "  FROM flat LEFT JOIN freq f ON flat.ntok = f.ntok "
+        "  FROM flat LEFT JOIN slct_freq f ON flat.ntok = f.ntok "
         "  AND flat.pos = f.pos AND flat.tok = f.tok GROUP BY flat.rid), "
-        "banks AS (SELECT template, count(*) AS n FROM tmpl GROUP BY template "
-        "  HAVING count(*) >= (SELECT s FROM sup)) "
-        "SELECT CAST(row_number() OVER (ORDER BY n DESC, template ASC) - 1 "
-        "  AS BIGINT) AS priority, "
-        "substring(md5(template), 1, 8) AS template_id, template FROM banks"
-    ),
-    "docs_lfa_templates": (
-        "WITH docs AS (SELECT row_number() OVER () AS rid, "
-        "  string_split(text, ' ') AS toks FROM documents), "
-        "flat AS (SELECT rid, unnest(toks) AS tok, "
-        "  generate_subscripts(toks, 1) AS pos FROM docs), "
-        "freq AS (SELECT tok, count(*) AS n FROM flat GROUP BY tok), "
-        "j AS (SELECT flat.rid, flat.pos, flat.tok, f.n FROM flat "
-        "  JOIN freq f ON flat.tok = f.tok), "
-        "mx AS (SELECT rid, max(n) AS mxn FROM j GROUP BY rid), "
-        "tmpl AS (SELECT j.rid, string_agg(CASE WHEN j.n = mx.mxn THEN j.tok "
+        "slct_banks AS (SELECT template, count(*) AS n FROM slct_tmpl "
+        "  GROUP BY template HAVING count(*) >= (SELECT s FROM sup)), "
+        "lfa_freq AS (SELECT tok, count(*) AS n FROM flat GROUP BY tok), "
+        "lfa_j AS (SELECT flat.rid, flat.pos, flat.tok, f.n FROM flat "
+        "  JOIN lfa_freq f ON flat.tok = f.tok), "
+        "lfa_mx AS (SELECT rid, max(n) AS mxn FROM lfa_j GROUP BY rid), "
+        "lfa_tmpl AS (SELECT j.rid, string_agg(CASE WHEN j.n = mx.mxn THEN j.tok "
         "  ELSE '<*>' END, ' ' ORDER BY j.pos) AS template "
-        "  FROM j JOIN mx ON j.rid = mx.rid GROUP BY j.rid), "
-        "banks AS (SELECT template, count(*) AS n FROM tmpl GROUP BY template) "
-        "SELECT CAST(row_number() OVER (ORDER BY n DESC, template ASC) - 1 "
-        "  AS BIGINT) AS priority, "
-        "substring(md5(template), 1, 8) AS template_id, template FROM banks"
+        "  FROM lfa_j j JOIN lfa_mx mx ON j.rid = mx.rid GROUP BY j.rid), "
+        "lfa_banks AS (SELECT template, count(*) AS n FROM lfa_tmpl "
+        "  GROUP BY template), "
+        "lc_freq AS (SELECT tok FROM flat GROUP BY tok "
+        "  HAVING count(*) >= (SELECT s FROM sup)), "
+        "lc_tmpl AS (SELECT flat.rid, string_agg(CASE WHEN f.tok IS NOT NULL "
+        "  THEN flat.tok ELSE '<*>' END, ' ' ORDER BY flat.pos) AS template "
+        "  FROM flat LEFT JOIN lc_freq f ON flat.tok = f.tok GROUP BY flat.rid), "
+        "lc_banks AS (SELECT template, count(*) AS n FROM lc_tmpl "
+        "  GROUP BY template HAVING count(*) >= (SELECT s FROM sup)), "
+        "lgm_bi AS (SELECT rid, pos, tok, coalesce(lag(tok) OVER "
+        "  (PARTITION BY rid ORDER BY pos), '^') AS prev FROM flat), "
+        "lgm_freq AS (SELECT prev, tok FROM lgm_bi GROUP BY prev, tok "
+        "  HAVING count(*) >= (SELECT s FROM sup)), "
+        "lgm_tmpl AS (SELECT b.rid, string_agg(CASE WHEN f.tok IS NOT NULL "
+        "  THEN b.tok ELSE '<*>' END, ' ' ORDER BY b.pos) AS template "
+        "  FROM lgm_bi b LEFT JOIN lgm_freq f ON b.prev = f.prev "
+        "  AND b.tok = f.tok GROUP BY b.rid), "
+        "lgm_banks AS (SELECT template, count(*) AS n FROM lgm_tmpl "
+        "  GROUP BY template) "
+        "SELECT 'lfa' AS miner, CAST(row_number() OVER "
+        "  (ORDER BY n DESC, template ASC) - 1 AS BIGINT) AS priority, "
+        "  substring(md5(template), 1, 8) AS template_id, template "
+        "  FROM lfa_banks "
+        "UNION ALL SELECT 'logcluster', CAST(row_number() OVER "
+        "  (ORDER BY n DESC, template ASC) - 1 AS BIGINT), "
+        "  substring(md5(template), 1, 8), template FROM lc_banks "
+        "UNION ALL SELECT 'logram', CAST(row_number() OVER "
+        "  (ORDER BY n DESC, template ASC) - 1 AS BIGINT), "
+        "  substring(md5(template), 1, 8), template FROM lgm_banks "
+        "UNION ALL SELECT 'slct', CAST(row_number() OVER "
+        "  (ORDER BY n DESC, template ASC) - 1 AS BIGINT), "
+        "  substring(md5(template), 1, 8), template FROM slct_banks"
     ),
     "embeddings_near_dupes": (
         "SELECT a.vec_id AS a, b.vec_id AS b, "

@@ -26,17 +26,24 @@ TRANSCRIPT_SCHEMA = pa.schema(
 )
 
 
-def read_transcripts_jsonl(path: str | list[str]):
+def read_transcripts_jsonl(path: str | list[str], *, ts_unit: str = "auto"):
     """``Dataset`` of transcript turns from JSONL file(s).
 
-    ``ts`` accepts ISO-8601 strings (fractional seconds and a trailing
-    ``Z``/UTC-offset are handled; offsets are DROPPED — timestamps are
-    treated as UTC wall time) or epoch seconds/millis (numbers); missing
-    ``tool`` stays null. Extra JSON keys are dropped — the canonical schema
-    is the contract downstream stages compile against.
+    ``ts`` accepts ISO-8601 strings or epoch numbers; either way the stored
+    value is the UTC INSTANT. ISO strings with a ``Z``/UTC-offset suffix are
+    parsed timezone-aware and converted (``12:00:00+05:00`` → 07:00 UTC);
+    offset-less strings are assumed UTC wall time. Epoch numbers are
+    interpreted per ``ts_unit``: ``"s"``, ``"ms"``, or ``"auto"`` (heuristic:
+    > 1e11 means millis — misreads millisecond stamps before 1973-03, so pass
+    an explicit unit for historical data); fractional parts are ROUNDED to
+    the microsecond, not truncated. Missing ``tool`` stays null. Extra JSON
+    keys are dropped — the canonical schema is the contract downstream
+    stages compile against.
     """
     import ray
 
+    if ts_unit not in ("auto", "s", "ms"):
+        raise ValueError(f"ts_unit must be 'auto', 's' or 'ms', got {ts_unit!r}")
     ds = ray.data.read_json(path)
 
     def to_canonical(b: pa.Table) -> pa.Table:
@@ -48,19 +55,32 @@ def read_transcripts_jsonl(path: str | list[str]):
             col = b[name].combine_chunks()
             if name == "ts" and not pa.types.is_timestamp(col.type):
                 if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-                    # strip zone suffix, then Arrow's ISO cast (accepts
-                    # fractional seconds; strptime's fixed format does not)
-                    bare = pc.replace_substring_regex(
-                        col, r"(Z|[+-]\d{2}:?\d{2})$", ""
+                    # normalize: offset-less strings get an explicit Z (UTC
+                    # wall time), then ONE tz-aware cast converts every
+                    # offset to the UTC instant; the final naive cast keeps
+                    # that instant (Arrow ISO cast accepts fractional
+                    # seconds and both ±hh:mm / ±hhmm offsets)
+                    col = pc.cast(col, pa.string())
+                    has_off = pc.match_substring_regex(
+                        col, r"(Z|[+-]\d{2}:?\d{2})$"
                     )
-                    col = pc.cast(bare, pa.timestamp("us"))
-                else:
-                    # epoch seconds (float/int); millis if implausibly large
-                    secs = pc.cast(col, pa.float64())
-                    big = pc.greater(secs, 1e11)
-                    secs = pc.if_else(big, pc.divide(secs, 1000.0), secs)
+                    norm = pc.if_else(
+                        has_off, col, pc.binary_join_element_wise(col, "Z", "")
+                    )
                     col = pc.cast(
-                        pc.cast(pc.multiply(secs, 1_000_000.0), pa.int64()),
+                        pc.cast(norm, pa.timestamp("us", tz="UTC")),
+                        pa.timestamp("us"),
+                    )
+                else:
+                    secs = pc.cast(col, pa.float64())
+                    if ts_unit == "ms":
+                        secs = pc.divide(secs, 1000.0)
+                    elif ts_unit == "auto":
+                        big = pc.greater(secs, 1e11)
+                        secs = pc.if_else(big, pc.divide(secs, 1000.0), secs)
+                    # round, don't truncate, the microsecond fraction
+                    col = pc.cast(
+                        pc.cast(pc.round(pc.multiply(secs, 1_000_000.0)), pa.int64()),
                         pa.timestamp("us"),
                     )
             cols[name] = pc.cast(col, typ)

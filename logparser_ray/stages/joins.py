@@ -23,6 +23,91 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+# dims at or under this (estimated) size broadcast to every worker; above it
+# a per-worker copy is real memory pressure (VERDICT r02 #4: `customer` grows
+# with scale factor — multi-GB per worker at 100 TB) and attach_dim falls
+# back to a distributed hash join instead
+BROADCAST_MAX_BYTES = 64 << 20
+
+
+def join_num_partitions(n_rows: int | None = None) -> int:
+    """Hash-join partition count scaled to input size and cluster CPUs
+    (ADVICE r02: a hardcoded 8 under-partitions at larger scale factors).
+
+    Small inputs keep partitions ≈ CPU/4 so aggregator spin-up doesn't
+    dominate (measured: join fixed cost ~2-4 s); big inputs grow with rows
+    so each partition stays bounded (~1M fact rows per partition)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    base = max(2, cpus // 4)
+    if n_rows is None:
+        return base
+    return max(base, min(512, n_rows // 1_000_000 + 2))
+
+
+def attach_dim(
+    fact,
+    dim,
+    *,
+    fact_key: str,
+    dim_key: str,
+    dim_cols: list[str],
+    broadcast_max_bytes: int = BROADCAST_MAX_BYTES,
+    dim_bytes_hint: int | None = None,
+    n_fact_rows: int | None = None,
+):
+    """Left-attach ``dim_cols`` from ``dim`` onto ``fact`` where
+    ``fact[fact_key] == dim[dim_key]`` — the dimension-join operator
+    (SURVEY.md J3) with an automatic broadcast-size guard.
+
+    Small dims (estimated ≤ ``broadcast_max_bytes``) collect once on the
+    driver, broadcast via ``ray.put``, and map per batch with
+    ``pc.index_in`` + ``take`` — a vectorized dictionary lookup, no shuffle,
+    left-join semantics (missing keys → nulls). Dims over the threshold
+    fall back to a distributed ``Dataset.join`` (left_outer) sized by
+    ``join_num_partitions`` — same semantics, no per-worker dim copy.
+
+    ``dim`` is a Dataset; pass ``dim_bytes_hint`` when it is a DERIVED
+    dataset (``size_bytes()`` on a lazy lineage may execute it). Requires
+    unique ``dim_key`` values (true dimension), else the broadcast path
+    takes the first match while the join path duplicates rows.
+    """
+    import ray
+
+    proj = dim.select_columns([dim_key, *dim_cols])
+    est = dim_bytes_hint
+    if est is None:
+        try:
+            est = proj.size_bytes()
+        except Exception:
+            est = None
+    if est is not None and est > broadcast_max_bytes:
+        joined = fact.join(
+            proj,
+            "left_outer",
+            num_partitions=join_num_partitions(n_fact_rows),
+            on=(fact_key,),
+            right_on=(dim_key,),
+        )
+        # Ray's join already omits the right key column, so both paths emit
+        # the same schema: fact columns + dim_cols
+        return joined
+
+    tbl = pa.concat_tables([ray.get(r) for r in proj.to_arrow_refs()])
+    ref = ray.put(tbl)
+
+    def lookup(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        d = ray.get(ref)
+        idx = pc.index_in(b[fact_key], value_set=d[dim_key].combine_chunks())
+        for c in dim_cols:
+            b = b.append_column(c, d[c].combine_chunks().take(idx))
+        return b
+
+    return fact.map_batches(lookup, batch_format="pyarrow", zero_copy_batch=True)
+
 
 def asof_join(
     left,

@@ -48,18 +48,24 @@ def heavy_hitters(ds, col: str, k: int = 20, slack: int = 8) -> pd.DataFrame:
     whose true count exceeds the total eviction ceiling is guaranteed to be
     reported (it must have been kept somewhere). Summary size per batch is
     ``k·slack + 1`` rows — the stream itself never shuffles.
+
+    Nulls are a first-class key carried as an ``is_null`` FLAG column (not a
+    sentinel string — ADVICE r02: ``"<null>"`` merged with a genuine
+    ``"<null>"`` data value); in the output the null key has ``is_null=True``
+    and ``v=""``. The final top-``k`` ranks by ``count_min`` (guaranteed
+    counts — ranking by ``count_max`` let rarely-kept keys with wide error
+    windows displace true heavy hitters); ``count_max`` remains in the
+    output so callers can see each key's error window.
     """
     cap = k * slack
 
     def partial(b: pa.Table) -> pa.Table:
-        # nulls become an explicit "<null>" key so the META marker row (an
-        # is_meta flag, one per batch) can never collide with a data value
-        col_s = pc.fill_null(b[col].combine_chunks().cast(pa.string()), "<null>")
-        t = pa.table({"v": col_s})
+        arr = b[col].combine_chunks().cast(pa.string())
+        t = pa.table({"v": pc.fill_null(arr, ""), "is_null": pc.is_null(arr)})
         counts = (
-            t.group_by(["v"])
+            t.group_by(["v", "is_null"])
             .aggregate([([], "count_all")])
-            .rename_columns(["v", "n"])
+            .rename_columns(["v", "is_null", "n"])
             .to_pandas()
             .sort_values(["n", "v"], ascending=[False, True])
         )
@@ -68,6 +74,7 @@ def heavy_hitters(ds, col: str, k: int = 20, slack: int = 8) -> pd.DataFrame:
         return pa.table(
             {
                 "v": pa.array(list(kept["v"]) + [""], pa.string()),
+                "is_null": pa.array(list(kept["is_null"]) + [False]),
                 "n": pa.array(
                     np.concatenate([kept["n"].to_numpy(np.int64), [0]])
                 ),
@@ -82,12 +89,14 @@ def heavy_hitters(ds, col: str, k: int = 20, slack: int = 8) -> pd.DataFrame:
     meta = parts[parts["is_meta"]]
     total_err = int(meta["err"].sum())
     keys = parts[~parts["is_meta"]]
-    merged = keys.groupby("v", as_index=False).agg(
+    merged = keys.groupby(["v", "is_null"], as_index=False).agg(
         count_min=("n", "sum"), err_seen=("err", "sum")
     )
     merged["count_max"] = merged["count_min"] + (total_err - merged["err_seen"])
-    merged = merged.sort_values(["count_max", "v"], ascending=[False, True]).head(k)
-    return merged[["v", "count_min", "count_max"]].reset_index(drop=True)
+    merged = merged.sort_values(
+        ["count_min", "v", "is_null"], ascending=[False, True, True]
+    ).head(k)
+    return merged[["v", "is_null", "count_min", "count_max"]].reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------

@@ -501,12 +501,23 @@ def test_heavy_hitters_null_values_do_not_collide_with_meta(ray_session):
 
     from logparser_ray.stages.sketch import heavy_hitters
 
-    t = pa.table({"v": pa.array(["x"] * 50 + [None] * 80 + ["y"] * 10, pa.string())})
+    # a GENUINE "<null>" string value must stay distinct from real nulls
+    # (ADVICE r02: the old sentinel merged them)
+    t = pa.table(
+        {
+            "v": pa.array(
+                ["x"] * 50 + [None] * 80 + ["y"] * 10 + ["<null>"] * 7, pa.string()
+            )
+        }
+    )
     ds = ray.data.from_arrow(t).repartition(num_blocks=3)
-    got = heavy_hitters(ds, "v", k=3, slack=4)
-    row = got[got["v"] == "<null>"]
-    assert len(row) == 1
-    assert row["count_min"].iloc[0] <= 80 <= row["count_max"].iloc[0]
+    got = heavy_hitters(ds, "v", k=4, slack=4)
+    null_row = got[got["is_null"]]
+    assert len(null_row) == 1
+    assert null_row["count_min"].iloc[0] <= 80 <= null_row["count_max"].iloc[0]
+    lit_row = got[(got["v"] == "<null>") & ~got["is_null"]]
+    assert len(lit_row) == 1
+    assert lit_row["count_min"].iloc[0] <= 7 <= lit_row["count_max"].iloc[0]
 
 
 def test_near_dup_clusters_and_drop(docs_with_dups):

@@ -738,3 +738,37 @@ def test_append_only_ingest_reprocesses_only_new_files(ray_session, tmp_path):
     res2 = flagship.run_flagship(str(indir), out_dir=out, files_per_fragment=2)
     assert res2["metrics"]["rows_in"] == 3_000
     assert res2["skipped"] == 2, "both earlier full fragments must be reused"
+
+
+def test_attach_dim_broadcast_vs_join_fallback(ray_session):
+    """attach_dim's two paths (broadcast lookup vs distributed left_outer
+    hash join past BROADCAST_MAX_BYTES) must produce identical rows and
+    schema, including null left-join semantics for missing dim keys
+    (VERDICT r02 #5: size guard on the dim joins)."""
+    import ray
+
+    from logparser_ray.stages.joins import attach_dim
+
+    # key 49 is absent from the dim → must surface as null in BOTH paths
+    fact = ray.data.from_items([{"k": i % 50, "v": float(i)} for i in range(4000)])
+    dim = ray.data.from_items([{"dk": i, "name": f"d{i}"} for i in range(49)])
+
+    kw = dict(fact_key="k", dim_key="dk", dim_cols=["name"])
+    bc = attach_dim(fact, dim, **kw).to_pandas()
+    jn = attach_dim(fact, dim, dim_bytes_hint=1 << 40, **kw).to_pandas()
+
+    bc = bc.sort_values(["k", "v"]).reset_index(drop=True)
+    jn = jn.sort_values(["k", "v"]).reset_index(drop=True)
+    assert list(bc.columns) == list(jn.columns) == ["k", "v", "name"]
+    pd.testing.assert_frame_equal(bc, jn)
+    assert bc[bc["k"] == 49]["name"].isna().all()
+
+
+def test_join_num_partitions_scales():
+    from logparser_ray.stages.joins import join_num_partitions
+
+    small = join_num_partitions(10_000)
+    big = join_num_partitions(500_000_000)
+    assert 2 <= small <= 64
+    assert big > small  # grows with fact size (ADVICE r02: no hardcoded 8)
+    assert big <= 512

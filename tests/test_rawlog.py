@@ -115,6 +115,7 @@ def test_jsonl_transcript_source(ray_session, tmp_path):
     assert list(tbl.columns) == TRANSCRIPT_SCHEMA.names
     assert len(tbl) == 2
     assert tbl["tool"].isna().sum() == 1  # missing tool stays null
+    tbl = tbl.sort_values("turn_idx")  # block delivery order isn't stable
     assert str(tbl["ts"].iloc[0]).startswith("2026-08-17 01:02:03")
     tbl2 = read_transcripts_jsonl(str(p2)).to_pandas()
     assert str(tbl2["ts"].iloc[0]).startswith("2025-12")  # epoch secs decoded
@@ -122,3 +123,53 @@ def test_jsonl_transcript_source(ray_session, tmp_path):
         read_transcripts_jsonl(str(p1)), fixtures.pattern_bank(), with_params=False
     ).to_pandas()
     assert (matched["template_id"] != "").all()
+
+
+def test_jsonl_ts_offsets_and_units(ray_session, tmp_path):
+    """ISO offsets convert to the UTC instant (ADVICE r02: they were being
+    regex-stripped, a 5h error); epoch unit is selectable and fractions
+    round rather than truncate."""
+    import json as _json
+
+    from logparser_ray.sources.jsonl import read_transcripts_jsonl
+
+    rows = [
+        {"conv_id": "c", "turn_idx": 0, "role": "u", "text": "a",
+         "ts": "2026-08-17T12:00:00+05:00"},   # = 07:00 UTC
+        {"conv_id": "c", "turn_idx": 1, "role": "u", "text": "b",
+         "ts": "2026-08-17T12:00:00-0130"},    # = 13:30 UTC
+        {"conv_id": "c", "turn_idx": 2, "role": "u", "text": "c",
+         "ts": "2026-08-17T07:00:00"},         # offset-less = UTC wall time
+    ]
+    p = tmp_path / "off.jsonl"
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    ts = read_transcripts_jsonl(str(p)).to_pandas().sort_values("turn_idx")["ts"]
+    assert str(ts.iloc[0]) == "2026-08-17 07:00:00"
+    assert str(ts.iloc[1]) == "2026-08-17 13:30:00"
+    assert str(ts.iloc[2]) == "2026-08-17 07:00:00"
+
+    # a 1970s millisecond stamp: auto misreads as seconds, ts_unit='ms' fixes
+    ms_rows = [{"conv_id": "c", "turn_idx": 0, "role": "u", "text": "x",
+                "ts": 99_999_999_999}]  # 1973-03-03 in millis, < 1e11
+    p2 = tmp_path / "ms.jsonl"
+    with open(p2, "w") as f:
+        f.write(_json.dumps(ms_rows[0]) + "\n")
+    auto = read_transcripts_jsonl(str(p2)).to_pandas()["ts"].iloc[0]
+    ms = read_transcripts_jsonl(str(p2), ts_unit="ms").to_pandas()["ts"].iloc[0]
+    assert auto.year > 5000 and ms.year == 1973
+
+    # fractional epoch seconds round to the nearest microsecond
+    fr_rows = [{"conv_id": "c", "turn_idx": 0, "role": "u", "text": "x",
+                "ts": 1000000.0000019}]
+    p3 = tmp_path / "fr.jsonl"
+    with open(p3, "w") as f:
+        f.write(_json.dumps(fr_rows[0]) + "\n")
+    fr = read_transcripts_jsonl(str(p3), ts_unit="s").to_pandas()["ts"].iloc[0]
+    assert fr.microsecond == 2  # 1.9µs rounds up, truncation would give 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ts_unit"):
+        read_transcripts_jsonl(str(p3), ts_unit="ns")
