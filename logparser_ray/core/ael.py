@@ -9,9 +9,12 @@ Abstracting Execution Logs to Execution Events", 2008; structural anchor
    shapes) — the bin key is the Ray ``groupby`` shuffle key.
 2. *Abstract*: within a bin, events sharing the identical constant-token
    skeleton collapse to one template (dynamic positions → ``<*>``).
-3. *Reconcile*: merge templates (across bins) whose token sequences are
-   equal up to ``merge_pct`` differing constant positions → widen to
-   ``<*>`` (driver-side over the small template set).
+3. *Reconcile*: within each bin, merge templates whose token sequences
+   differ in at most ``ceil(merge_pct * n_tokens)`` positions — including
+   differing CONSTANT positions: the paper's reconcile exists precisely to
+   catch parameters the dynamic-token heuristic missed (e.g. alphabetic
+   slot values). Differing positions widen to ``<*>`` (driver-side over
+   the small template set).
 """
 
 from __future__ import annotations
@@ -46,8 +49,16 @@ def abstract_bin(seqs: list[list[str]]) -> list[tuple[list[str], int]]:
 def reconcile(
     templates: list[tuple[list[str], int]], merge_pct: float = 0.1
 ) -> list[tuple[list[str], int]]:
-    """Step 3: greedy merge of same-length templates differing in at most
-    ``ceil(merge_pct * n_tokens)`` positions (differences → ``<*>``)."""
+    """Step 3 over ONE bin: greedy merge of same-length templates differing
+    in at most ``ceil(merge_pct * n_tokens)`` positions (differences →
+    ``<*>``). A differing position counts whether it is constant-vs-constant
+    or constant-vs-wildcard — the reconcile step's whole purpose is to
+    widen constant positions the dynamic heuristic missed (an earlier
+    revision required zero constant diffs, which made ``merge_pct`` a no-op
+    and left sibling skeletons like ``User asked about arrow`` /
+    ``... about ray`` unmerged). Callers feed one ``(n_tokens, n_dyn)``
+    bin at a time; cross-bin merging is NOT paper behavior and over-merges
+    e.g. an all-constant sibling into a one-slot template."""
     out: list[tuple[list[str], int]] = []
     for tokens, n in templates:
         merged = False
@@ -55,17 +66,8 @@ def reconcile(
         for i, (etoks, en) in enumerate(out):
             if len(etoks) != len(tokens):
                 continue
-            diffs = [
-                j
-                for j, (a, b) in enumerate(zip(etoks, tokens))
-                if a != b and a != WILDCARD and b != WILDCARD
-            ]
-            soft = [
-                j
-                for j, (a, b) in enumerate(zip(etoks, tokens))
-                if a != b and (a == WILDCARD or b == WILDCARD)
-            ]
-            if len(diffs) == 0 and len(soft) <= budget:
+            ndiff = sum(1 for a, b in zip(etoks, tokens) if a != b)
+            if ndiff <= budget:
                 new = [
                     a if a == b else WILDCARD for a, b in zip(etoks, tokens)
                 ]

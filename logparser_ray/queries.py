@@ -1030,7 +1030,7 @@ def _fit_spell(ds):
 def _fit_lenma(ds):
     from logparser_ray.stages.mine import fit_bank
 
-    return fit_bank(ds, "lenma", params={"threshold": 0.9})
+    return fit_bank(ds, "lenma", params={"threshold": 0.99})
 
 
 def _fit_slct(ds):
@@ -1085,13 +1085,13 @@ def _fit_logcluster(ds):
 def _fit_logsig(ds):
     from logparser_ray.stages.mine import logsig_fit
 
-    return logsig_fit(ds, k=16)
+    return logsig_fit(ds, k=14)
 
 
 def _fit_lke(ds):
     from logparser_ray.stages.mine import lke_fit
 
-    return lke_fit(ds, threshold=0.3)
+    return lke_fit(ds, threshold=0.5)
 
 
 def q_evaluator_fixture(sf_dir: str):
@@ -1398,8 +1398,10 @@ ORACLE = {
     ),
     "docs_freq_templates": (
         # one UNION ALL over four independent re-derivations: SLCT
-        # ((n_tokens, pos, word) support keys), LFA (per-row max token
-        # frequency), LogCluster (position-independent frequent words, both
+        # ((n_tokens, pos, word) support keys), LFA ((n_tokens, pos, word)
+        # frequencies cut at the sharpest relative drop in each row's sorted
+        # profile, ≥2× ratio + ≤half-params guards — stages/mine.py:lfa_fit),
+        # LogCluster (position-independent frequent words, both
         # thresholds), Logram (bigram dictionary with '^' row-start anchor)
         "WITH docs AS (SELECT row_number() OVER () AS rid, "
         "  string_split(text, ' ') AS toks FROM documents), "
@@ -1415,13 +1417,27 @@ ORACLE = {
         "  AND flat.pos = f.pos AND flat.tok = f.tok GROUP BY flat.rid), "
         "slct_banks AS (SELECT template, count(*) AS n FROM slct_tmpl "
         "  GROUP BY template HAVING count(*) >= (SELECT s FROM sup)), "
-        "lfa_freq AS (SELECT tok, count(*) AS n FROM flat GROUP BY tok), "
-        "lfa_j AS (SELECT flat.rid, flat.pos, flat.tok, f.n FROM flat "
-        "  JOIN lfa_freq f ON flat.tok = f.tok), "
-        "lfa_mx AS (SELECT rid, max(n) AS mxn FROM lfa_j GROUP BY rid), "
-        "lfa_tmpl AS (SELECT j.rid, string_agg(CASE WHEN j.n = mx.mxn THEN j.tok "
-        "  ELSE '<*>' END, ' ' ORDER BY j.pos) AS template "
-        "  FROM lfa_j j JOIN lfa_mx mx ON j.rid = mx.rid GROUP BY j.rid), "
+        "lfa_freq AS (SELECT ntok, pos, tok, count(*) AS n FROM flat "
+        "  GROUP BY ntok, pos, tok), "
+        "lfa_j AS (SELECT flat.rid, flat.ntok, flat.pos, flat.tok, f.n "
+        "  FROM flat JOIN lfa_freq f ON flat.ntok = f.ntok "
+        "  AND flat.pos = f.pos AND flat.tok = f.tok), "
+        "lfa_r AS (SELECT rid, n, lag(n) OVER "
+        "  (PARTITION BY rid ORDER BY n, pos) AS prev_n FROM lfa_j), "
+        "lfa_best AS (SELECT rid, max(n * 1.0 / prev_n) AS best FROM lfa_r "
+        "  WHERE prev_n IS NOT NULL GROUP BY rid), "
+        "lfa_split AS (SELECT r.rid, min(r.prev_n) AS split FROM lfa_r r "
+        "  JOIN lfa_best b ON r.rid = b.rid "
+        "  AND r.n * 1.0 / r.prev_n = b.best GROUP BY r.rid), "
+        "lfa_gate AS (SELECT j.rid, "
+        "  (b.best >= 2.0 AND 2 * count(*) FILTER (WHERE j.n <= s.split) "
+        "   <= max(j.ntok)) AS gate, s.split FROM lfa_j j "
+        "  JOIN lfa_best b ON j.rid = b.rid "
+        "  JOIN lfa_split s ON j.rid = s.rid GROUP BY j.rid, b.best, s.split), "
+        "lfa_tmpl AS (SELECT j.rid, string_agg(CASE WHEN g.gate AND "
+        "  j.n <= g.split THEN '<*>' ELSE j.tok END, ' ' ORDER BY j.pos) "
+        "  AS template FROM lfa_j j LEFT JOIN lfa_gate g ON j.rid = g.rid "
+        "  GROUP BY j.rid), "
         "lfa_banks AS (SELECT template, count(*) AS n FROM lfa_tmpl "
         "  GROUP BY template), "
         "lc_freq AS (SELECT tok FROM flat GROUP BY tok "

@@ -277,47 +277,93 @@ def logram_fit(ds, *, text_col: str = "text", threshold: int = 10) -> PatternBan
 # ---------------------------------------------------------------------------
 
 
-def lfa_fit(ds, *, text_col: str = "text") -> PatternBank:
-    """Global token frequencies; per message, tokens at the message's max
-    frequency stay constant, the rest become ``<*>``. The frequency map is
-    broadcast (vocab-sized; at 100 TB swap for a pruned top-K map)."""
+def lfa_fit(ds, *, text_col: str = "text", min_ratio: float = 2.0) -> PatternBank:
+    """LFA — word-position frequency split (Nagappan & Vouk, MSR 2010;
+    SURVEY.md A5). Frequencies are keyed ``(n_tokens, position, token)``
+    (the paper's word-position table); per message the sorted frequency
+    profile is cut at the sharpest RELATIVE drop — the split between
+    consecutive sorted values with the largest ratio, the paper's
+    "parameters occur far less often than the constant skeleton" intuition.
+    Tokens at or below the cut become ``<*>``. Two guards keep the cut
+    honest: the best ratio must be ≥ ``min_ratio`` (a flat profile means an
+    all-constant line) and parameters may cover at most half the tokens (a
+    line that is mostly "parameters" is really a rare constant line). An
+    absolute-gap cut instead picks the jump into globally shared tokens
+    ('with', '<*>') and wildcards the true skeleton — measured 0.42 vs 0.89
+    grouping accuracy on the transcripts fixture.
 
-    def count_tokens(batch: pa.Table) -> pa.Table:
-        flat = _token_lists(batch, text_col).flatten()
-        t = pa.table({"tok": flat})
-        return t.group_by(["tok"]).aggregate([([], "count_all")]).rename_columns(
-            ["tok", "n"]
+    The frequency map is broadcast once (vocab-scale; at 100 TB prune keys
+    below a minimum count — dropped keys sit under any cut that fires).
+    DuckDB re-derivation: queries.py ORACLE['docs_freq_templates'] lfa_*
+    CTEs — both sides order ties by (frequency, position) and break
+    equal-ratio ties toward the smallest split value."""
+
+    def count_keys(batch: pa.Table) -> pa.Table:
+        keys = _pos_keys(_token_lists(batch, text_col))
+        t = pa.table({"key": keys})
+        return t.group_by(["key"]).aggregate([([], "count_all")]).rename_columns(
+            ["key", "n"]
         )
 
     counts = (
         ds.select_columns([text_col])
-        .map_batches(count_tokens, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("tok")
+        .map_batches(count_keys, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("key")
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
     )
+    if "key" not in counts.columns or not len(counts):
+        return PatternBank([])
     freq = ray.put(
-        pa.table({"tok": pa.array(counts["tok"], pa.string()), "n": pa.array(counts["n"], pa.int64())})
+        pa.table(
+            {
+                "key": pa.array(counts["key"], pa.string()),
+                "n": pa.array(counts["n"], pa.int64()),
+            }
+        )
     )
 
     def templatize(batch: pa.Table) -> pa.Table:
         fmap = ray.get(freq)
         toks = _token_lists(batch, text_col)
         offsets = np.asarray(toks.offsets)
-        flat = toks.flatten().to_numpy(zero_copy_only=False)
-        idx = pc.index_in(toks.flatten(), value_set=fmap["tok"].combine_chunks())
+        lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        nrows = len(lengths)
+        flat = toks.flatten()
+        keys = _pos_keys(toks)
+        idx = pc.index_in(keys, value_set=fmap["key"].combine_chunks())
+        # every (ntok, pos, tok) of this corpus is in the map by construction
         f = np.asarray(
-            pc.fill_null(pc.take(fmap["n"].combine_chunks(), idx), 0), dtype=np.int64
+            pc.fill_null(pc.take(fmap["n"].combine_chunks(), idx), 1),
+            dtype=np.int64,
         )
-        # per-row max frequency (split_pattern never yields empty lists, so
-        # every offsets[:-1] entry indexes a real token)
-        row_max = (
-            np.maximum.reduceat(f, offsets[:-1]) if len(f) else np.zeros(0, np.int64)
+        row_id = np.repeat(np.arange(nrows), lengths)
+        starts = np.concatenate(([0], np.cumsum(lengths)))[:-1]
+        # sort frequencies ascending within each row (stable → ties keep
+        # position order, matching the oracle's ORDER BY n, pos)
+        order = np.lexsort((f, row_id))
+        sf = f[order].astype(np.float64)
+        ratio = np.ones(len(sf))
+        if len(sf) > 1:
+            ratio[1:] = sf[1:] / sf[:-1]
+        ratio[starts] = 1.0  # no cross-row ratios
+        if nrows:
+            best = np.maximum.reduceat(ratio, starts)
+            # first sorted index achieving the best ratio → smallest split
+            pos_idx = np.arange(len(sf))
+            cand = np.where(ratio == np.repeat(best, lengths), pos_idx, len(sf))
+            first = np.minimum.reduceat(cand, starts)
+            gated = best >= min_ratio  # first > start whenever this fires
+            split = np.where(gated, sf[np.maximum(first, 1) - 1], -1.0)
+            n_params = np.where(gated, first - starts, 0)
+            gate = gated & (2 * n_params <= lengths)
+            wild = (f <= np.repeat(split, lengths)) & np.repeat(gate, lengths)
+        else:
+            wild = np.zeros(0, dtype=bool)
+        out_flat = pc.if_else(
+            pa.array(wild), pa.scalar(WILDCARD, pa.string()), flat
         )
-        lengths = offsets[1:] - offsets[:-1]
-        keep = f == np.repeat(row_max, lengths)
-        out_flat = np.where(keep, flat, WILDCARD)
-        lists = pa.ListArray.from_arrays(toks.offsets, pa.array(out_flat, pa.string()))
+        lists = pa.ListArray.from_arrays(toks.offsets, out_flat)
         t = pa.table({"template": pc.binary_join(lists, " ")})
         return t.group_by(["template"]).aggregate([([], "count_all")]).rename_columns(
             ["template", "n"]
@@ -457,7 +503,7 @@ def iplom_fit(
 
 
 def ael_fit(ds, *, text_col: str = "text", merge_pct: float = 0.1) -> PatternBank:
-    """Bin by (n_tokens, n_dynamic) → abstract → reconcile globally.
+    """Bin by (n_tokens, n_dynamic) → abstract → reconcile per bin.
 
     Categorize + abstract are ONE vectorized pass: dynamic tokens
     (digit/``=`` heuristic, ``core.ael.is_dynamic``) wildcard via a single
@@ -466,8 +512,10 @@ def ael_fit(ds, *, text_col: str = "text", merge_pct: float = 0.1) -> PatternBan
     ``groupby(n_tokens, n_dyn, skeleton).count`` — no per-row Python and no
     per-bin pandas materialization (the r1 version looped ``bin_key`` over
     every row and held each bin in one worker's frame). Reconcile (step 3)
-    stays driver-side over the tiny template set, fed in a deterministic
-    (n_tokens, n_dyn, −count, skeleton) order.
+    stays driver-side over the tiny template set, applied PER BIN (paper
+    semantics — cross-bin merging collapsed sibling templates of unequal
+    n_dyn) and fed in a deterministic (n_tokens, n_dyn, −count, skeleton)
+    order.
     """
 
     def skeletons(batch: pa.Table) -> pa.Table:
@@ -504,10 +552,17 @@ def ael_fit(ds, *, text_col: str = "text", merge_pct: float = 0.1) -> PatternBan
             ascending=[True, True, False, True],
         )
     )
-    merged = reconcile(
-        [(s.split(" "), int(n)) for s, n in zip(counts["skeleton"], counts["n"])],
-        merge_pct=merge_pct,
-    )
+    merged: list[tuple[list[str], int]] = []
+    for _bin, grp in counts.groupby(["n_tokens", "n_dyn"], sort=False):
+        merged.extend(
+            reconcile(
+                [
+                    (s.split(" "), int(n))
+                    for s, n in zip(grp["skeleton"], grp["n"])
+                ],
+                merge_pct=merge_pct,
+            )
+        )
     merged.sort(key=lambda tn: (-tn[1], " ".join(tn[0])))
     return PatternBank(
         [
@@ -584,14 +639,19 @@ def logcluster_fit(ds, *, text_col: str = "text", support: int = 10) -> PatternB
 
 def _sample_texts(ds, text_col: str, n_sample: int, seed: int) -> list[str]:
     """Deterministic sample for the O(n·k)/O(n²) miners: the ``n_sample``
-    rows with the smallest keyed text hash (stable across block structure,
-    unlike ``random_sample`` whose draw depends on partitioning). Computed
-    as a per-batch k-smallest combiner + tiny driver merge — NO global sort
-    (a corpus-wide all-to-all to draw 5k rows was the round-2 scale-killer)."""
+    DISTINCT texts with the smallest keyed hash (stable across block
+    structure, unlike ``random_sample`` whose draw depends on
+    partitioning). Computed as a per-batch k-smallest combiner + tiny
+    driver merge — NO global sort (a corpus-wide all-to-all to draw 5k
+    rows was the round-2 scale-killer). Distinct-shape sampling is what a
+    clustering fit needs: a ROW sample of a duplicate-heavy corpus admits
+    whole duplicate groups per hash and covered only 24/42 shapes of the
+    2k-turn fixture at n=1000 (losing e.g. every ``Session started`` row,
+    so LKE/LogSig could never emit that template)."""
     from logparser_ray.stages.sample import sample_min_k_by_hash
 
     sampled = sample_min_k_by_hash(
-        ds, cols=[text_col], key_col=text_col, n=n_sample, seed=seed
+        ds, cols=[text_col], key_col=text_col, n=n_sample, seed=seed, distinct=True
     )
     return list(sampled[text_col])
 

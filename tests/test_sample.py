@@ -19,7 +19,9 @@ def _items(texts):
 
 def test_sampler_matches_global_hash_sort(ray_session):
     """The combiner sample must be byte-identical to what an explicit global
-    sort by (keyed hash, value) would select."""
+    DISTINCT + sort by (keyed hash, value) would select (the miner sampler
+    draws distinct shapes — a row draw admits whole duplicate groups per
+    hash and starves template coverage)."""
     from logparser_ray.stages.mine import _sample_texts
 
     texts = [f"msg {i % 7} value {i * 13 % 101}" for i in range(5000)]
@@ -27,11 +29,24 @@ def test_sampler_matches_global_hash_sort(ray_session):
     h = pd.util.hash_array(np.asarray(texts, dtype=object), hash_key=f"{42:016d}")
     want = (
         pd.DataFrame({"text": texts, "h": h})
+        .drop_duplicates("text")
         .sort_values(["h", "text"], kind="mergesort")
         .head(200)["text"]
         .tolist()
     )
     assert got == want
+
+
+def test_distinct_sampler_counts_exact_when_keys_survive(ray_session):
+    """_n counts are exact occurrence counts when n covers every distinct
+    key (each block's local top-k keeps all its keys)."""
+    texts = ["a"] * 5 + ["b"] * 3 + ["c"] * 2
+    out = sample_min_k_by_hash(
+        _items(texts).repartition(4), cols=["text"], key_col="text", n=10,
+        seed=1, distinct=True,
+    )
+    got = dict(zip(out["text"], out["_n"]))
+    assert got == {"a": 5, "b": 3, "c": 2}
 
 
 def test_sampler_partitioning_independent(ray_session):
