@@ -35,45 +35,123 @@ def sessionize_bucketed(
     bucket_s: int = 86_400,
 ):
     """Per-user session counts, hot-key-safe. Returns a Dataset
-    ``(user_col, n_sessions)`` identical to the naive single-group scan."""
+    ``(user_col, n_sessions)`` identical to the naive single-group scan.
+
+    Both phases are ONE unsalted keyed repartition (complete groups per
+    block — the bucket itself is the skew device, so no salt) followed by a
+    map_batches that processes EVERY group in the block with array ops: sort
+    the block, mark group boundaries, lag timestamps, segment-sum. An
+    earlier revision used ``groupby().map_groups`` with a per-group pandas
+    callback; the (user × bucket) group count made its fixed per-group cost
+    the whole runtime (22 s vs ~1 s naive at sf0.1, ~40k groups). Group
+    count grows with the corpus, so per-group Python is a scale bug, not a
+    constant."""
+    import ray
+
+    from logparser_ray.stages.route import route_repartition
+
+    gap_us = int(gap_s * 1_000_000)
+    n_blocks = max(2, int(ray.cluster_resources().get("CPU", 4)))
 
     def add_bucket(b: pa.Table) -> pa.Table:
         ep = pc.cast(b[ts_col].combine_chunks(), pa.int64()).to_numpy()  # µs
         bucket = ep // (bucket_s * 1_000_000)
         return b.append_column("_bucket", pa.array(bucket))
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, id_col])
-        gaps = g[ts_col].diff().dt.total_seconds()
-        n = int((gaps.isna() | (gaps > gap_s)).sum())
-        return pd.DataFrame(
+    def bucket_partials(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    user_col: pa.array([], b.schema.field(user_col).type),
+                    "_bucket": pa.array([], pa.int64()),
+                    "n_sessions": pa.array([], pa.int64()),
+                    "_first_us": pa.array([], pa.int64()),
+                    "_last_us": pa.array([], pa.int64()),
+                }
+            )
+        t = b.take(
+            pc.sort_indices(
+                b,
+                sort_keys=[
+                    (user_col, "ascending"),
+                    ("_bucket", "ascending"),
+                    (ts_col, "ascending"),
+                    (id_col, "ascending"),
+                ],
+            )
+        )
+        u = t[user_col].combine_chunks()
+        un = u.to_numpy(zero_copy_only=False)
+        bk = t["_bucket"].combine_chunks().to_numpy()
+        ts = pc.cast(t[ts_col].combine_chunks(), pa.int64()).to_numpy()
+        new_grp = np.ones(len(un), dtype=bool)
+        new_grp[1:] = (un[1:] != un[:-1]) | (bk[1:] != bk[:-1])
+        gap_prev = np.empty(len(ts), dtype=np.int64)
+        gap_prev[0] = gap_us + 1
+        gap_prev[1:] = ts[1:] - ts[:-1]
+        start = new_grp | (gap_prev > gap_us)
+        first = np.flatnonzero(new_grp)
+        last = np.append(first[1:] - 1, len(ts) - 1)
+        n_sessions = np.add.reduceat(start.astype(np.int64), first)
+        return pa.table(
             {
-                user_col: [g[user_col].iloc[0]],
-                "_bucket": [g["_bucket"].iloc[0]],
-                "n_sessions": [n],
-                "_first_ts": [g[ts_col].iloc[0]],
-                "_last_ts": [g[ts_col].iloc[-1]],
+                user_col: u.take(pa.array(first)),
+                "_bucket": pa.array(bk[first]),
+                "n_sessions": pa.array(n_sessions),
+                "_first_us": pa.array(ts[first]),
+                "_last_us": pa.array(ts[last]),
             }
         )
 
-    partials = (
-        ds.select_columns([user_col, ts_col, id_col])
-        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby([user_col, "_bucket"])
-        .map_groups(per_bucket, batch_format="pandas")
-    )
+    partials = route_repartition(
+        ds.select_columns([user_col, ts_col, id_col]).map_batches(
+            add_bucket, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        keys=[user_col, "_bucket"],
+        num_blocks=n_blocks,
+        salted=False,
+    ).map_batches(bucket_partials, batch_format="pyarrow", zero_copy_batch=True)
 
-    def merge_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("_bucket")
-        n = int(g["n_sessions"].sum())
-        if len(g) > 1:
-            # continuation iff gap between a present bucket's last event and
-            # the NEXT present bucket's first event is within gap_s (empty
-            # buckets in between just make the gap larger — handled by time)
-            gaps = (
-                g["_first_ts"].iloc[1:].to_numpy() - g["_last_ts"].iloc[:-1].to_numpy()
-            ) / np.timedelta64(1, "s")
-            n -= int((gaps <= gap_s).sum())
-        return pd.DataFrame({user_col: [g[user_col].iloc[0]], "n_sessions": [n]})
+    def merge_users(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    user_col: pa.array([], b.schema.field(user_col).type),
+                    "n_sessions": pa.array([], pa.int64()),
+                }
+            )
+        t = b.take(
+            pc.sort_indices(
+                b,
+                sort_keys=[(user_col, "ascending"), ("_bucket", "ascending")],
+            )
+        )
+        u = t[user_col].combine_chunks()
+        un = u.to_numpy(zero_copy_only=False)
+        ns = t["n_sessions"].combine_chunks().to_numpy()
+        first_us = t["_first_us"].combine_chunks().to_numpy()
+        last_us = t["_last_us"].combine_chunks().to_numpy()
+        new_u = np.ones(len(un), dtype=bool)
+        new_u[1:] = un[1:] != un[:-1]
+        grp_first = np.flatnonzero(new_u)
+        total = np.add.reduceat(ns, grp_first)
+        # a session continues across a bucket boundary iff the gap between
+        # the previous PRESENT bucket's last event and the next present
+        # bucket's first event is ≤ gap_s (empty buckets in between only
+        # widen the time gap — handled by comparing timestamps, not buckets)
+        cont = np.zeros(len(un), dtype=np.int64)
+        if len(un) > 1:
+            cont[1:] = (
+                ~new_u[1:] & (first_us[1:] - last_us[:-1] <= gap_us)
+            ).astype(np.int64)
+        n_cont = np.add.reduceat(cont, grp_first)
+        return pa.table(
+            {
+                user_col: u.take(pa.array(grp_first)),
+                "n_sessions": pa.array(total - n_cont),
+            }
+        )
 
-    return partials.groupby(user_col).map_groups(merge_user, batch_format="pandas")
+    return route_repartition(
+        partials, keys=[user_col], num_blocks=n_blocks, salted=False
+    ).map_batches(merge_users, batch_format="pyarrow", zero_copy_batch=True)
