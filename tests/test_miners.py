@@ -333,3 +333,75 @@ def test_hdfs_family_drain_recovers_grammar(ray_session):
     mined = {t.template for t in bank}
     truth_templates = {t.template for t in bank_true}
     assert len(mined & truth_templates) >= 6
+
+
+# -- round-3 fidelity pins: AEL reconcile, LFA ratio cut, distinct sample ----
+
+
+def test_ael_reconcile_merges_constant_diffs_within_budget():
+    """The paper's reconcile merges same-bin templates differing in ≤ budget
+    positions even when both sides are constants (that is its purpose: catch
+    parameters the dynamic heuristic missed)."""
+    from logparser_ray.core.ael import reconcile
+
+    merged = reconcile(
+        [
+            (["User", "asked", "about", "arrow"], 30),
+            (["User", "asked", "about", "ray"], 20),
+            (["User", "asked", "about", "actors"], 10),
+        ],
+        merge_pct=0.1,
+    )
+    assert merged == [(["User", "asked", "about", "<*>"], 60)]
+    # over-budget pairs stay separate (2 diffs, budget 1)
+    kept = reconcile(
+        [(["Session", "started"], 5), (["Heartbeat", "ok"], 3)], merge_pct=0.1
+    )
+    assert len(kept) == 2
+
+
+def test_ael_fit_keeps_sibling_bins_separate(ray_session):
+    """Per-bin reconcile must NOT merge across (n_tokens, n_dyn) bins: the
+    all-constant 'plan <word>' family and the one-slot 'task <digit>' family
+    share a length but sit in different bins."""
+    import ray
+
+    rows = (
+        [{"text": f"Agent replied with plan {w}"} for w in ("alpha", "beta", "gamma")] * 10
+        + [{"text": f"Agent replied with task t{i}"} for i in (100, 200, 300)] * 10
+    )
+    bank = mine.ael_fit(ray.data.from_items(rows))
+    templates = {t.template for t in bank}
+    assert "Agent replied with plan <*>" in templates
+    assert "Agent replied with task <*>" in templates
+
+
+def test_lfa_ratio_cut_keeps_flat_lines_constant(ray_session):
+    """LFA wildcards only below a ≥2× relative drop in the (ntok, pos, word)
+    frequency profile; flat-profile lines stay fully constant, and lines
+    whose 'parameters' would cover more than half the tokens do too."""
+    import ray
+
+    rows = (
+        [{"text": "Session started"}] * 40
+        + [{"text": f"User asked about {w}"} for w in ("arrow", "ray", "parquet", "shuffles")] * 10
+    )
+    bank = mine.lfa_fit(ray.data.from_items(rows))
+    templates = {t.template for t in bank}
+    assert templates == {"Session started", "User asked about <*>"}
+
+
+def test_sampled_miners_cover_duplicate_heavy_corpora(ray_session):
+    """Distinct-shape sampling: a template whose rows all share one text
+    (one hash) must still reach the LKE fit — the row sampler dropped whole
+    duplicate groups and could lose a 150-row template entirely."""
+    import ray
+
+    rows = [{"text": "Session started"}] * 300 + [
+        {"text": f"Tool bash returned exit code {i % 4} in {i} ms"} for i in range(30)
+    ]
+    # 31 distinct shapes ≤ n_sample → every shape reaches the fit, no matter
+    # how many duplicate rows share one hash (the row sampler would draw 40
+    # rows = 'Session started' ~0 times or ~300 times, by hash luck)
+    bank = mine.lke_fit(ray.data.from_items(rows), threshold=0.5, n_sample=40)
+    assert "Session started" in {t.template for t in bank}
