@@ -1015,6 +1015,35 @@ def q_docs_freq_templates(sf_dir: str):
     return pa.concat_tables(parts)
 
 
+def q_events_sketches_exact(sf_dir: str):
+    """Streaming sketches (stages/sketch.py) driven into their EXACT regime
+    so DuckDB can independently pin the merge algebra: SpaceSaving heavy
+    hitters over ``event_type`` with cap = k·slack = 160 ≫ 5 distinct values
+    (no batch ever evicts → total error bound 0 → count_min == count_max ==
+    exact count), and KMV distinct count over ``user_id`` with k = 65536 ≫
+    distinct users (``exact_below_k`` → estimate is the exact distinct
+    count). At 100 TB the same operators run with small k and return
+    bounded-error summaries (the approximation guarantees are pinned by
+    tests/test_extras.py); this oracle pins the partial/merge plumbing."""
+    from logparser_ray.stages.sketch import approx_distinct, heavy_hitters
+
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    hh = heavy_hitters(ev, "event_type", k=20, slack=8)
+    hh.insert(0, "part", "hh_event_type")
+    d = approx_distinct(ev, "user_id", k=65536)
+    assert d["exact_below_k"], "oracle requires the exact KMV regime"
+    du = pd.DataFrame(
+        {
+            "part": ["distinct_users"],
+            "v": [""],
+            "is_null": [False],
+            "count_min": [int(d["estimate"])],
+            "count_max": [int(d["estimate"])],
+        }
+    )
+    return pd.concat([hh, du], ignore_index=True)
+
+
 def _fit_drain(ds):
     from logparser_ray.stages.mine import fit_bank
 
@@ -1169,6 +1198,7 @@ QUERIES = {
     "embeddings_knn": q_embeddings_knn,
     "embeddings_near_dupes": q_embeddings_near_dupes,
     "docs_freq_templates": q_docs_freq_templates,
+    "events_sketches_exact": q_events_sketches_exact,
     # miner fits over the transcripts fixture, consolidated into 4 tagged
     # unions so all 13 miners run under the driver's 50-entry audit cap
     # (rows-only: order-dependent/iterative, not SQL-expressible over views)
@@ -1470,6 +1500,20 @@ ORACLE = {
         "UNION ALL SELECT 'slct', CAST(row_number() OVER "
         "  (ORDER BY n DESC, template ASC) - 1 AS BIGINT), "
         "  substring(md5(template), 1, 8), template FROM slct_banks"
+    ),
+    "events_sketches_exact": (
+        # both sketches run in their exact regime (caps ≫ cardinality), so
+        # plain GROUP BY / COUNT(DISTINCT) reproduce them bit-for-bit
+        "SELECT 'hh_event_type' AS part, "
+        "  coalesce(CAST(event_type AS VARCHAR), '') AS v, "
+        "  event_type IS NULL AS is_null, "
+        "  CAST(count(*) AS BIGINT) AS count_min, "
+        "  CAST(count(*) AS BIGINT) AS count_max "
+        "FROM events GROUP BY event_type "
+        "UNION ALL "
+        "SELECT 'distinct_users', '', FALSE, "
+        "  CAST(count(DISTINCT user_id) AS BIGINT), "
+        "  CAST(count(DISTINCT user_id) AS BIGINT) FROM events"
     ),
     "embeddings_near_dupes": (
         "SELECT a.vec_id AS a, b.vec_id AS b, "
