@@ -10,7 +10,9 @@ Abstracting Execution Logs to Execution Events", 2008; structural anchor
 2. *Abstract*: within a bin, events sharing the identical constant-token
    skeleton collapse to one template (dynamic positions → ``<*>``).
 3. *Reconcile*: within each bin, merge templates whose token sequences
-   differ in at most ``ceil(merge_pct * n_tokens)`` positions — including
+   differ in at most ``max(1, floor(merge_pct * n_tokens))`` positions
+   (at least one position may always differ, so short templates still
+   merge) — including
    differing CONSTANT positions: the paper's reconcile exists precisely to
    catch parameters the dynamic-token heuristic missed (e.g. alphabetic
    slot values). Differing positions widen to ``<*>`` (driver-side over
@@ -50,8 +52,8 @@ def reconcile(
     templates: list[tuple[list[str], int]], merge_pct: float = 0.1
 ) -> list[tuple[list[str], int]]:
     """Step 3 over ONE bin: greedy merge of same-length templates differing
-    in at most ``ceil(merge_pct * n_tokens)`` positions (differences →
-    ``<*>``). A differing position counts whether it is constant-vs-constant
+    in at most ``max(1, floor(merge_pct * n_tokens))`` positions
+    (differences → ``<*>``). A differing position counts whether it is constant-vs-constant
     or constant-vs-wildcard — the reconcile step's whole purpose is to
     widen constant positions the dynamic heuristic missed (an earlier
     revision required zero constant diffs, which made ``merge_pct`` a no-op

@@ -551,7 +551,8 @@ def q_events_sessionize(sf_dir: str):
     through the hot-key-safe bucketed operator: per-(user, time-bucket)
     partials + boundary merge, so one bot user's whole history never lands
     on one worker (VERDICT r02 #8 — same oracle, scale-safe path; equality
-    with the naive per-user scan is pinned in tests/test_pipeline.py)."""
+    with an independent naive pandas scan is pinned in
+    tests/test_extras.py::test_sessionize_bucketed_equals_naive)."""
     from logparser_ray.stages.windows import sessionize_bucketed
 
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])

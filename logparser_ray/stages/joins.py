@@ -82,7 +82,10 @@ def attach_dim(
             est = proj.size_bytes()
         except Exception:
             est = None
-    if est is not None and est > broadcast_max_bytes:
+    # Unknown size (estimation failed) is treated as OVER the threshold:
+    # the distributed join degrades gracefully for small dims, while a
+    # blind broadcast of a large one OOMs the driver and every worker.
+    if est is None or est > broadcast_max_bytes:
         joined = fact.join(
             proj,
             "left_outer",

@@ -563,12 +563,17 @@ def ael_fit(ds, *, text_col: str = "text", merge_pct: float = 0.1) -> PatternBan
                 merge_pct=merge_pct,
             )
         )
-    merged.sort(key=lambda tn: (-tn[1], " ".join(tn[0])))
+    # Cross-bin dedup: widening a low-n_dyn bin's template can make it equal
+    # a sibling bin's (same string, same md5 id) — keep one entry per
+    # template string with summed support so bank priorities and benchmark
+    # occurrence totals aren't split across duplicates.
+    by_tmpl: dict[str, int] = {}
+    for toks, n in merged:
+        s = " ".join(toks)
+        by_tmpl[s] = by_tmpl.get(s, 0) + n
+    uniq = sorted(by_tmpl.items(), key=lambda tn: (-tn[1], tn[0]))
     return PatternBank(
-        [
-            Template.from_string(" ".join(t), prio)
-            for prio, (t, _) in enumerate(merged)
-        ]
+        [Template.from_string(t, prio) for prio, (t, _) in enumerate(uniq)]
     )
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _row_hashes(vals: np.ndarray, seed: int) -> np.ndarray:
@@ -32,11 +33,21 @@ def _row_hashes(vals: np.ndarray, seed: int) -> np.ndarray:
 
 
 def sample_min_k_by_hash(
-    ds, *, cols: list[str], key_col: str, n: int, seed: int = 0, distinct: bool = False
-) -> pd.DataFrame:
+    ds,
+    *,
+    cols: list[str],
+    key_col: str,
+    n: int,
+    seed: int = 0,
+    distinct: bool = False,
+    as_arrow: bool = False,
+):
     """``n`` rows of ``ds[cols]`` with the smallest keyed hash of
     ``key_col``; ties broken by the key value. Returns a pandas frame
-    (bounded: ``n`` rows) ordered by (hash, key) ascending.
+    (bounded: ``n`` rows) ordered by (hash, key) ascending, or the same
+    rows as a ``pa.Table`` with ``as_arrow=True`` — the Arrow path never
+    round-trips payload columns (e.g. ``list<float>`` embeddings) through
+    Python objects, so matrix consumers can flatten+reshape zero-copy.
 
     ``distinct=True`` samples ``n`` DISTINCT key values instead of rows
     (requires ``cols == [key_col]``) and adds a ``_n`` occurrence-count
@@ -56,6 +67,10 @@ def sample_min_k_by_hash(
 
     def partial_min_k(batch: pa.Table) -> pa.Table:
         t = batch.select(cols)
+        # Null keys are excluded from the draw: they carry no signal for the
+        # fits this feeds (miner texts / embedding ids) and None breaks the
+        # (hash, key) lexsort tie-break against str/int keys.
+        t = t.filter(pc.is_valid(t[key_col]))
         if distinct:
             t = (
                 t.group_by(cols)
@@ -70,15 +85,34 @@ def sample_min_k_by_hash(
         out = t.take(pa.array(order))
         return out.append_column("_h", pa.array(h[order]))
 
-    parts = (
+    import ray
+
+    # Bounded driver-side merge (≤ n × num_blocks candidate rows), done in
+    # Arrow so payload columns stay columnar end to end.
+    refs = (
         ds.select_columns(cols)
         .map_batches(partial_min_k, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()
+        .to_arrow_refs()
     )
-    if distinct:
-        parts = (
-            parts.groupby(["_h", key_col], as_index=False, sort=False)["_n"]
-            .sum()
+    tables = [t for t in ray.get(refs) if t.num_rows] if refs else []
+    if not tables:
+        empty = pa.table(
+            {c: pa.array([], ds.schema().field(c).type) for c in cols}
         )
-    merged = parts.sort_values(["_h", key_col], kind="mergesort").head(n)
-    return merged.drop(columns=["_h"]).reset_index(drop=True)
+        if distinct:
+            empty = empty.append_column("_n", pa.array([], pa.int64()))
+        return empty if as_arrow else empty.to_pandas()
+    parts = pa.concat_tables(tables, promote_options="default")
+    if distinct:
+        # same key may survive several blocks' local top-k: sum occurrence
+        # counts across blocks (group keys share one hash by construction)
+        g = parts.group_by(["_h", key_col]).aggregate([("_n", "sum")])
+        parts = g.rename_columns(
+            ["_n" if c == "_n_sum" else c for c in g.column_names]
+        )
+    merged = parts.sort_by(
+        [("_h", "ascending"), (key_col, "ascending")]
+    ).slice(0, n)
+    out_cols = [*cols, "_n"] if distinct else cols
+    out = merged.select(out_cols)
+    return out if as_arrow else out.to_pandas()

@@ -259,10 +259,11 @@ def kmeans_fit(
     from logparser_ray.stages.sample import sample_min_k_by_hash
 
     samp = sample_min_k_by_hash(
-        ds, cols=[id_col, "embedding"], key_col=id_col, n=n_fit, seed=seed
+        ds, cols=[id_col, "embedding"], key_col=id_col, n=n_fit, seed=seed,
+        as_arrow=True,
     )
-    ids = samp[id_col].to_numpy()
-    emb = _normalize(np.asarray(samp["embedding"].tolist(), dtype=np.float64))
+    ids = samp[id_col].to_numpy(zero_copy_only=False)
+    emb = _normalize(_emb_matrix(samp["embedding"]))
     k = min(k, len(ids))
     centroids = _normalize(emb[np.argsort(ids)[:k]].copy())
 

@@ -67,7 +67,10 @@ def heavy_hitters(ds, col: str, k: int = 20, slack: int = 8) -> pd.DataFrame:
             .aggregate([([], "count_all")])
             .rename_columns(["v", "is_null", "n"])
             .to_pandas()
-            .sort_values(["n", "v"], ascending=[False, True])
+            # is_null participates in the tie-break: a genuine "" key and
+            # the null key share v="" and can tie on n — the cap boundary
+            # must not depend on incidental row order
+            .sort_values(["n", "v", "is_null"], ascending=[False, True, True])
         )
         kept = counts.head(cap)
         err = int(counts["n"].iloc[cap:].max()) if len(counts) > cap else 0
@@ -112,7 +115,10 @@ def approx_distinct(ds, col: str, k: int = 1024) -> dict:
     """
 
     def partial(b: pa.Table) -> pa.Table:
-        vals = b[col].combine_chunks().cast(pa.string()).to_numpy(zero_copy_only=False)
+        # drop nulls to match SQL COUNT(DISTINCT col) semantics (nulls are
+        # not a distinct value; hash_array would otherwise count one)
+        arr = b[col].combine_chunks().drop_null()
+        vals = arr.cast(pa.string()).to_numpy(zero_copy_only=False)
         h = pd.util.hash_array(vals, hash_key="rayparse-kmv-000")
         u = np.unique(h)  # sorted ascending
         return pa.table({"h": pa.array(u[:k].view(np.int64))})

@@ -452,31 +452,49 @@ def test_approx_distinct_error_and_exact_path(ray_session):
 
 
 def test_sessionize_bucketed_equals_naive(ray_session):
-    """The hot-key-safe bucketed sessionization must equal the naive
-    single-group scan exactly — including sessions spanning bucket
-    boundaries and users with gaps across EMPTY buckets."""
+    """The hot-key-safe bucketed sessionization must equal a naive
+    single-pass scan exactly — including sessions spanning bucket
+    boundaries and users with gaps across EMPTY buckets. The reference is
+    computed HERE with plain pandas (not via any operator under test —
+    q_events_sessionize itself routes through sessionize_bucketed, so
+    comparing query output to the operator would be circular)."""
+    import pyarrow.parquet as pq
     import ray
 
-    from logparser_ray.queries import q_events_sessionize
     from logparser_ray.stages.windows import sessionize_bucketed
 
     sf = "/root/testdata/sf0.01"
+    ev = (
+        pq.read_table(sf + "/events.parquet", columns=["user_id", "ts", "event_id"])
+        .to_pandas()
+        .sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    )
+    gap = ev.groupby("user_id", sort=True)["ts"].diff().dt.total_seconds()
+    starts = gap.isna() | (gap > 1800.0)
     naive = (
-        q_events_sessionize(sf).to_pandas().sort_values("user_id").reset_index(drop=True)
+        starts.groupby(ev["user_id"], sort=True)
+        .sum()
+        .astype("int64")
+        .rename("n_sessions")
+        .reset_index()
     )
     ds = ray.data.read_parquet(
         sf + "/events.parquet", columns=["user_id", "ts", "event_id"]
     )
-    # small bucket (1h) forces many cross-boundary continuations
-    got = (
-        sessionize_bucketed(ds, gap_s=1800.0, bucket_s=3600)
-        .to_pandas()
-        .sort_values("user_id")
-        .reset_index(drop=True)
-    )
-    assert len(got) == len(naive)
-    assert (got["user_id"].to_numpy() == naive["user_id"].to_numpy()).all()
-    assert (got["n_sessions"].to_numpy() == naive["n_sessions"].to_numpy()).all()
+    # small bucket (1h) forces many cross-boundary continuations; the
+    # default 1-day bucket covers the coarse regime
+    for bucket_s in (3600, 86_400):
+        got = (
+            sessionize_bucketed(ds, gap_s=1800.0, bucket_s=bucket_s)
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(naive), bucket_s
+        assert (got["user_id"].to_numpy() == naive["user_id"].to_numpy()).all()
+        assert (
+            got["n_sessions"].to_numpy() == naive["n_sessions"].to_numpy()
+        ).all(), bucket_s
 
 
 def test_simhash_mega_bucket_truncates_not_skips(ray_session):
@@ -531,3 +549,46 @@ def test_near_dup_clusters_and_drop(docs_with_dups):
     assert got == {0: 0, 1: 0, 4: 0, 2: 2, 3: 2}
     kept = dedup.drop_near_dupes(docs_with_dups, pairs).to_pandas()
     assert sorted(kept["doc_id"]) == [0, 2]  # representatives only
+
+
+def test_approx_distinct_excludes_nulls(ray_session):
+    """KMV must match COUNT(DISTINCT col) semantics: NULL is not a distinct
+    value (review r03: hash_array hashed None like a key, desyncing the
+    sketch from its SQL oracle on any fixture with null user_ids)."""
+    import ray
+
+    from logparser_ray.stages.sketch import approx_distinct
+
+    t = pa.table(
+        {"v": pa.array(["a", None, "b", None, "c", "a"], pa.string())}
+    )
+    r = approx_distinct(ray.data.from_arrow(t).repartition(num_blocks=3), "v")
+    assert r["exact_below_k"] and r["estimate"] == 3
+
+
+def test_heavy_hitters_empty_string_vs_null_tie_deterministic(ray_session):
+    """'' and NULL share v='' in the partial; when they tie exactly on n at
+    the cap boundary the (n, v, is_null) sort makes the eviction choice
+    canonical — independent of the groupby's emission order and of input
+    row order (review r03: sorting on (n, v) alone let incidental order
+    pick the survivor). Both orderings of the same multiset must yield
+    identical sketches."""
+    import ray
+
+    from logparser_ray.stages.sketch import heavy_hitters
+
+    # cap = k*slack = 4; three k* keys (counts 9,8,7) + '' x5 + null x5:
+    # the ''/null pair ties exactly at the cap boundary — only one survives
+    head = [f"k{i}" for i, c in enumerate((9, 8, 7)) for _ in range(c)]
+    tie = [""] * 5 + [None] * 5
+    outs = []
+    for vals in (head + tie, head + tie[::-1]):
+        t = pa.table({"v": pa.array(vals, pa.string())})
+        got = heavy_hitters(
+            ray.data.from_arrow(t).repartition(num_blocks=1), "v", k=4, slack=1
+        )
+        outs.append(got.reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # canonical winner: is_null=False sorts before True at equal (n, v)
+    surv = set(zip(outs[0]["v"], outs[0]["is_null"]))
+    assert ("", False) in surv and ("", True) not in surv

@@ -405,3 +405,23 @@ def test_sampled_miners_cover_duplicate_heavy_corpora(ray_session):
     # rows = 'Session started' ~0 times or ~300 times, by hash luck)
     bank = mine.lke_fit(ray.data.from_items(rows), threshold=0.5, n_sample=40)
     assert "Session started" in {t.template for t in bank}
+
+
+def test_ael_fit_dedups_identical_templates_across_bins(ray_session):
+    """Widening a low-n_dyn bin's template can make it string-equal to a
+    sibling bin's (review r03, confirmed repro): 'User asked about
+    arrow/ray' (n_dyn=0 bin, reconciled to 'User asked about <*>') and
+    'User asked about 42' (n_dyn=1 bin, same skeleton). The bank must carry
+    ONE entry per template string with summed support — duplicate entries
+    share a template_id and split occurrence totals."""
+    import ray
+
+    rows = (
+        [{"text": "User asked about arrow"}] * 30
+        + [{"text": "User asked about ray"}] * 20
+        + [{"text": "User asked about 42"}] * 15
+    )
+    bank = mine.ael_fit(ray.data.from_items(rows))
+    templates = [t.template for t in bank]
+    assert templates.count("User asked about <*>") == 1
+    assert len(templates) == len(set(templates))

@@ -772,3 +772,35 @@ def test_join_num_partitions_scales():
     assert 2 <= small <= 64
     assert big > small  # grows with fact size (ADVICE r02: no hardcoded 8)
     assert big <= 512
+
+
+def test_attach_dim_unknown_size_takes_join_path(ray_session, monkeypatch):
+    """When size estimation fails (derived dim whose size_bytes raises) and
+    no hint is given, attach_dim must take the distributed-join path — NOT
+    broadcast (review r03: a blind driver-side concat of an unknown-size
+    dim is the exact OOM hazard the guard exists for). Results must still
+    match the broadcast path."""
+    import ray
+
+    from logparser_ray.stages.joins import attach_dim
+
+    fact = ray.data.from_items([{"k": i % 20, "v": float(i)} for i in range(1000)])
+    dim = ray.data.from_items([{"dk": i, "name": f"d{i}"} for i in range(20)])
+    kw = dict(fact_key="k", dim_key="dk", dim_cols=["name"])
+    want = attach_dim(fact, dim, **kw).to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+
+    calls = {"join": 0}
+    real_join = ray.data.Dataset.join
+
+    def counting_join(self, *a, **k):
+        calls["join"] += 1
+        return real_join(self, *a, **k)
+
+    def boom(self, *a, **k):
+        raise RuntimeError("size estimation unavailable for derived datasets")
+
+    monkeypatch.setattr(ray.data.Dataset, "join", counting_join)
+    monkeypatch.setattr(ray.data.Dataset, "size_bytes", boom)
+    got = attach_dim(fact, dim, **kw).to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    assert calls["join"] == 1, "unknown-size dim must use the distributed join"
+    pd.testing.assert_frame_equal(got, want)

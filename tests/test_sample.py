@@ -171,3 +171,36 @@ def test_minhash_n_docs_hint_same_pairs(ray_session):
         ds, k=2, bands=8, rows_per_band=2, threshold=0.5, n_docs=len(rows)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_sampler_skips_null_keys(ray_session):
+    """Null key values are excluded from the draw (review r03: None broke
+    the (hash, key) lexsort against str keys with a TypeError that failed
+    the whole Ray job; a null text carries no signal for miner fits)."""
+    import ray
+
+    rows = [{"text": t} for t in ["a b", None, "x y", "c d", None]]
+    out = sample_min_k_by_hash(
+        ray.data.from_items(rows), cols=["text"], key_col="text", n=10, seed=0
+    )
+    assert sorted(out["text"]) == ["a b", "c d", "x y"]
+
+
+def test_sampler_arrow_mode_matches_pandas_mode(ray_session):
+    """as_arrow=True returns the same rows in the same order, with list
+    payload columns staying Arrow (no Python-object round-trip)."""
+    import ray
+
+    rows = [
+        {"vec_id": i, "embedding": [float(i), float(i * 2)]} for i in range(300)
+    ]
+    ds = ray.data.from_items(rows).repartition(5)
+    kw = dict(cols=["vec_id", "embedding"], key_col="vec_id", n=50, seed=11)
+    pd_out = sample_min_k_by_hash(ds, **kw)
+    ar_out = sample_min_k_by_hash(ds, as_arrow=True, **kw)
+    assert isinstance(ar_out, pa.Table)
+    assert pa.types.is_list(ar_out["embedding"].type) or pa.types.is_fixed_size_list(
+        ar_out["embedding"].type
+    )
+    assert ar_out["vec_id"].to_pylist() == pd_out["vec_id"].tolist()
+    assert ar_out["embedding"].to_pylist() == [list(e) for e in pd_out["embedding"]]
