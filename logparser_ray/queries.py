@@ -939,6 +939,55 @@ def q_docs_fingerprints(sf_dir: str):
     return grouped_count(fp, ["fingerprint"], alias="n_docs")
 
 
+def q_docs_textstats_extras(sf_dir: str):
+    """Tagged union of the two rows-only textstat audits (langid confusion
+    counts + rolling-hash fingerprint clusters) — one driver-audited entry
+    so both stay inside the 50-entry cap while ``docs_stratified_sample``
+    takes a full SQL-oracled slot. Per-kernel semantics are pinned by
+    tests/test_extras.py::test_textstats_vectorized_kernels."""
+    import pandas as pd
+
+    li = q_docs_langid(sf_dir).to_pandas()
+    fp = q_docs_fingerprints(sf_dir).to_pandas()
+    parts = [
+        pd.DataFrame(
+            {
+                "part": "langid",
+                "a": li["lang"].astype(str),
+                "b": li["lang_guess"].astype(str),
+                "n": li["n"].astype("int64"),
+            }
+        ),
+        pd.DataFrame(
+            {
+                "part": "fingerprint",
+                "a": fp["fingerprint"].astype(str),
+                "b": "",
+                "n": fp["n_docs"].astype("int64"),
+            }
+        ),
+    ]
+    return (
+        pd.concat(parts, ignore_index=True)
+        .sort_values(["part", "a", "b"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def q_docs_stratified_sample(sf_dir: str):
+    """Deterministic per-language stratified sample (training-data
+    pipeline extra: balanced eval/annotation subsets). The md5-ordered
+    draw is bit-reproducible in SQL — see
+    ``stages/sample.py: sample_stratified``."""
+    from logparser_ray.stages.sample import sample_stratified
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    return sample_stratified(
+        ds, group_col="lang", key_col="text", tiebreak_col="doc_id",
+        n_per_group=20,
+    )
+
+
 def q_media_features(sf_dir: str):
     """Real multimodal decode (pure-numpy PPM/WAV codecs) through the
     actor-pool featurizer stage — decoder='real', not the sha256 stub."""
@@ -1200,6 +1249,7 @@ QUERIES = {
     "embeddings_near_dupes": q_embeddings_near_dupes,
     "docs_freq_templates": q_docs_freq_templates,
     "events_sketches_exact": q_events_sketches_exact,
+    "docs_stratified_sample": q_docs_stratified_sample,
     # miner fits over the transcripts fixture, consolidated into 4 tagged
     # unions so all 13 miners run under the driver's 50-entry audit cap
     # (rows-only: order-dependent/iterative, not SQL-expressible over views)
@@ -1231,8 +1281,9 @@ QUERIES = {
     "docs_unigram_near_dupes": q_docs_unigram_near_dupes,
     "docs_simhash_clusters": q_docs_simhash_clusters,
     "docs_simhash_near_dupes": q_docs_simhash_near_dupes,
-    "docs_langid": q_docs_langid,
-    "docs_fingerprints": q_docs_fingerprints,
+    # langid confusion + fingerprint clusters, consolidated (audit-cap
+    # discipline — freed the slot docs_stratified_sample now holds)
+    "docs_textstats_extras": q_docs_textstats_extras,
     # the three approximate-ANN paths consolidated into one tagged union
     # (audit-cap discipline; pytest pins their exactness properties)
     "embeddings_ann_approx": q_embeddings_ann_approx,
@@ -1337,6 +1388,15 @@ ORACLE = {
     ),
     "docs_dedup_exact": (
         "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text"
+    ),
+    # the md5 hex digest is the shared deterministic ordering key: DuckDB's
+    # md5(text) emits the identical lowercase hex the Ray operator computes
+    # with hashlib, so both engines draw the SAME 20 docs per language
+    "docs_stratified_sample": (
+        "SELECT lang, doc_id FROM ("
+        "SELECT lang, doc_id, row_number() OVER ("
+        "PARTITION BY lang ORDER BY md5(text) ASC, doc_id ASC) AS rn "
+        "FROM documents) WHERE rn <= 20 ORDER BY lang, doc_id"
     ),
     "docs_lang_stats": (
         "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, "

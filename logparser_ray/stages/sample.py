@@ -116,3 +116,85 @@ def sample_min_k_by_hash(
     out_cols = [*cols, "_n"] if distinct else cols
     out = merged.select(out_cols)
     return out if as_arrow else out.to_pandas()
+
+
+def sample_stratified(
+    ds,
+    *,
+    group_col: str,
+    key_col: str,
+    tiebreak_col: str,
+    n_per_group: int,
+) -> pd.DataFrame:
+    """Deterministic stratified sample: the ``n_per_group`` rows of each
+    ``group_col`` stratum with the smallest ``(md5(key), tiebreak)`` —
+    the balanced per-language / per-sink draw a training-data pipeline
+    uses to build evaluation or annotation subsets.
+
+    The md5 hex digest is the ordering key ON PURPOSE: it is the one
+    deterministic "random" order every engine reproduces bit-for-bit
+    (DuckDB ``md5(text)`` emits the identical lowercase hex), so the draw
+    is SQL-oracle-able via ``row_number() OVER (PARTITION BY g ORDER BY
+    md5(key), tiebreak)`` — unlike ``pd.util.hash_array``, whose seed
+    never leaves Python. md5 is computed per row by design (no vectorized
+    form exists in any engine; the C-backed ``hashlib`` call is the
+    kernel, not a Python-loop substitute for one), inside ``map_batches``
+    across the cluster.
+
+    Shape: per-block partials keep each stratum's local ``n_per_group``
+    smallest, so the driver merge sees ≤ ``n_per_group × n_strata ×
+    n_blocks`` candidate rows and no all-to-all runs. Assumes the stratum
+    count is bounded (languages, sinks, sources — ≤ ~10⁵); for unbounded
+    strata route through a keyed repartition first. Null keys are
+    excluded from the draw (SQL ``md5(NULL)`` is NULL and sorts last —
+    never into a bounded sample).
+
+    Returns ``(group_col, tiebreak_col)`` sorted ascending.
+    """
+    import hashlib
+
+    import ray
+
+    cols = [group_col, key_col, tiebreak_col]
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.select(cols).filter(pc.is_valid(b[key_col]))
+        keys = t[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+        digs = np.fromiter(
+            (hashlib.md5(k.encode("utf-8")).hexdigest() for k in keys),
+            dtype=object,
+            count=len(keys),
+        )
+        df = pd.DataFrame(
+            {
+                group_col: t[group_col].to_numpy(zero_copy_only=False),
+                "_md5": digs,
+                tiebreak_col: t[tiebreak_col].to_numpy(zero_copy_only=False),
+            }
+        )
+        kept = (
+            df.sort_values([group_col, "_md5", tiebreak_col], kind="mergesort")
+            .groupby(group_col, sort=False)
+            .head(n_per_group)
+        )
+        return pa.Table.from_pandas(kept, preserve_index=False)
+
+    refs = (
+        ds.select_columns(cols)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_arrow_refs()
+    )
+    tables = [t for t in ray.get(refs) if t.num_rows] if refs else []
+    if not tables:
+        return pd.DataFrame(columns=[group_col, tiebreak_col])
+    cand = pa.concat_tables(tables, promote_options="default").to_pandas()
+    merged = (
+        cand.sort_values([group_col, "_md5", tiebreak_col], kind="mergesort")
+        .groupby(group_col, sort=False)
+        .head(n_per_group)
+    )
+    return (
+        merged.drop(columns=["_md5"])
+        .sort_values([group_col, tiebreak_col], kind="mergesort")
+        .reset_index(drop=True)
+    )

@@ -204,3 +204,42 @@ def test_sampler_arrow_mode_matches_pandas_mode(ray_session):
     )
     assert ar_out["vec_id"].to_pylist() == pd_out["vec_id"].tolist()
     assert ar_out["embedding"].to_pylist() == [list(e) for e in pd_out["embedding"]]
+
+
+def test_stratified_sample_matches_reference_and_partitioning(ray_session):
+    """Per-group min-(md5, tiebreak) draw must equal the plain pandas
+    reference and be independent of block structure; groups smaller than
+    n_per_group return exhaustively."""
+    import hashlib
+
+    import ray
+
+    from logparser_ray.stages.sample import sample_stratified
+
+    rows = [
+        {"doc_id": i, "lang": ["en", "de", "fr", "tiny"][i % 4 if i < 396 else 3], "text": f"doc number {i} body {i % 13}"}
+        for i in range(400)
+    ]
+    # make 'tiny' an under-filled stratum: only ids 396..399 plus i%4==3
+    df = pd.DataFrame(rows)
+    want = (
+        df.assign(_m=[hashlib.md5(t.encode()).hexdigest() for t in df["text"]])
+        .sort_values(["lang", "_m", "doc_id"], kind="mergesort")
+        .groupby("lang", sort=False)
+        .head(30)
+        .drop(columns=["_m", "text"])
+        .sort_values(["lang", "doc_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    for blocks in (3, 11):
+        ds = ray.data.from_items(rows).repartition(blocks)
+        got = sample_stratified(
+            ds, group_col="lang", key_col="text", tiebreak_col="doc_id",
+            n_per_group=30,
+        )
+        pd.testing.assert_frame_equal(
+            got[["doc_id", "lang"]], want[["doc_id", "lang"]]
+        )
+    # every stratum is either filled to 30 or exhausted
+    sizes = want.groupby("lang").size()
+    assert (sizes <= 30).all() and sizes.max() == 30
