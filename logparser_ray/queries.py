@@ -1074,10 +1074,19 @@ def q_events_sketches_exact(sf_dir: str):
     distinct users (``exact_below_k`` → estimate is the exact distinct
     count). At 100 TB the same operators run with small k and return
     bounded-error summaries (the approximation guarantees are pinned by
-    tests/test_extras.py); this oracle pins the partial/merge plumbing."""
-    from logparser_ray.stages.sketch import approx_distinct, heavy_hitters
+    tests/test_extras.py); this oracle pins the partial/merge plumbing.
 
-    ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    Also carries the binned-histogram quantiles of ``value`` (width 10):
+    binned rank statistics are deterministic at ANY scale — no exact
+    regime needed — so the p50/p95/p99 bins and their cumulative counts
+    are pinned value-for-value against the SQL window-cumsum form."""
+    from logparser_ray.stages.sketch import (
+        approx_distinct,
+        binned_quantiles,
+        heavy_hitters,
+    )
+
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id", "value"])
     hh = heavy_hitters(ev, "event_type", k=20, slack=8)
     hh.insert(0, "part", "hh_event_type")
     d = approx_distinct(ev, "user_id", k=65536)
@@ -1091,7 +1100,19 @@ def q_events_sketches_exact(sf_dir: str):
             "count_max": [int(d["estimate"])],
         }
     )
-    return pd.concat([hh, du], ignore_index=True)
+    bq = binned_quantiles(ev, "value", width=10.0, qs=(0.5, 0.95, 0.99))
+    qrows = pd.DataFrame(
+        {
+            "part": "q_value_bin",
+            "v": bq["q"],
+            "is_null": False,
+            # tagged-union column reuse: count_min carries the quantile's
+            # bin index, count_max the cumulative count through that bin
+            "count_min": bq["bin"].astype("int64"),
+            "count_max": bq["n_le"].astype("int64"),
+        }
+    )
+    return pd.concat([hh, du, qrows], ignore_index=True)
 
 
 def _fit_drain(ds):
@@ -1564,7 +1585,22 @@ ORACLE = {
     ),
     "events_sketches_exact": (
         # both sketches run in their exact regime (caps ≫ cardinality), so
-        # plain GROUP BY / COUNT(DISTINCT) reproduce them bit-for-bit
+        # plain GROUP BY / COUNT(DISTINCT) reproduce them bit-for-bit; the
+        # binned quantiles need NO exact regime — floor(value/width)
+        # histograms + ceil(q·n) ranks are deterministic in both engines
+        "WITH qbins AS ("
+        "  SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin, "
+        "         CAST(count(*) AS BIGINT) AS n "
+        "  FROM events WHERE value IS NOT NULL GROUP BY 1), "
+        "qcum AS ("
+        "  SELECT bin, CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS c "
+        "  FROM qbins), "
+        "qtot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM qbins), "
+        "qpick AS ("
+        "  SELECT qv.v AS v, min(qcum.bin) AS bin "
+        "  FROM (VALUES ('0.5', 0.5), ('0.95', 0.95), ('0.99', 0.99)) "
+        "       AS qv(v, q), qtot, qcum "
+        "  WHERE qcum.c >= ceil(qv.q * qtot.t) GROUP BY qv.v) "
         "SELECT 'hh_event_type' AS part, "
         "  coalesce(CAST(event_type AS VARCHAR), '') AS v, "
         "  event_type IS NULL AS is_null, "
@@ -1574,7 +1610,11 @@ ORACLE = {
         "UNION ALL "
         "SELECT 'distinct_users', '', FALSE, "
         "  CAST(count(DISTINCT user_id) AS BIGINT), "
-        "  CAST(count(DISTINCT user_id) AS BIGINT) FROM events"
+        "  CAST(count(DISTINCT user_id) AS BIGINT) FROM events "
+        "UNION ALL "
+        "SELECT 'q_value_bin', qpick.v, FALSE, qpick.bin, "
+        "  (SELECT c FROM qcum WHERE qcum.bin = qpick.bin) "
+        "FROM qpick"
     ),
     "embeddings_near_dupes": (
         "SELECT a.vec_id AS a, b.vec_id AS b, "

@@ -132,3 +132,72 @@ def approx_distinct(ds, col: str, k: int = 1024) -> dict:
     kth = u[k - 1]
     est = (k - 1) / (float(kth) / float(2**64 - 1))
     return {"estimate": float(est), "k": k, "exact_below_k": False}
+
+
+# ---------------------------------------------------------------------------
+# Mergeable binned-histogram quantiles
+# ---------------------------------------------------------------------------
+
+
+def binned_quantiles(
+    ds, col: str, *, width: float, qs: tuple[float, ...] = (0.5, 0.95, 0.99)
+) -> pd.DataFrame:
+    """Streaming rank statistics via a fixed-width histogram — the
+    mergeable quantile structure whose semantics every engine reproduces
+    bit-for-bit (unlike sampling sketches such as KLL, whose compaction
+    order is engine-specific and can never be SQL-oracled).
+
+    Per batch: ``floor(value / width)`` bincounts (nulls excluded, SQL
+    aggregate semantics) — a tiny ``(bin, n)`` partial per block, so the
+    stream never shuffles and the driver merge is bounded by
+    ``n_bins × n_blocks`` rows (bins are bounded by domain/width; pick
+    ``width`` so the histogram stays small — resolution IS the memory
+    knob, exactly as in any production histogram sketch). The quantile
+    ``q`` resolves to the smallest bin whose cumulative count reaches
+    ``ceil(q × n)`` — the bin containing the exact rank-``ceil(q·n)``
+    element, i.e. the true discrete quantile at bin resolution.
+
+    Returns one row per q: ``(q, bin, n_le, n_total)`` with ``q`` as its
+    Python literal string (matches the SQL VALUES literal), ``bin`` the
+    quantile bin index, ``n_le`` the cumulative count through that bin.
+    All integers — deterministically comparable across engines.
+    """
+    import math
+
+    def partial(b: pa.Table) -> pa.Table:
+        arr = b[col].combine_chunks().drop_null()
+        v = arr.cast(pa.float64()).to_numpy(zero_copy_only=False)
+        bins = np.floor(v / width).astype(np.int64)
+        ub, cnt = np.unique(bins, return_counts=True)
+        return pa.table(
+            {"bin": pa.array(ub), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    parts = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    agg = (
+        parts.groupby("bin", as_index=False)["n"].sum().sort_values("bin")
+        if len(parts)
+        else pd.DataFrame({"bin": [], "n": []})
+    )
+    tot = int(agg["n"].sum()) if len(agg) else 0
+    cum = agg["n"].cumsum().to_numpy(np.int64) if len(agg) else np.array([], np.int64)
+    rows = []
+    for q in qs:
+        if tot == 0:
+            rows.append({"q": f"{q}", "bin": None, "n_le": 0, "n_total": 0})
+            continue
+        # float rank identical to SQL ceil(q * n): both compute q·n in
+        # float64 and ceil — same bits, same bin on every engine
+        rank = math.ceil(q * tot)
+        idx = int(np.searchsorted(cum, rank, side="left"))
+        rows.append(
+            {
+                "q": f"{q}",
+                "bin": int(agg["bin"].iloc[idx]),
+                "n_le": int(cum[idx]),
+                "n_total": tot,
+            }
+        )
+    return pd.DataFrame(rows)

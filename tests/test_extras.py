@@ -592,3 +592,33 @@ def test_heavy_hitters_empty_string_vs_null_tie_deterministic(ray_session):
     # canonical winner: is_null=False sorts before True at equal (n, v)
     surv = set(zip(outs[0]["v"], outs[0]["is_null"]))
     assert ("", False) in surv and ("", True) not in surv
+
+
+def test_binned_quantiles_rank_semantics(ray_session):
+    """The q-quantile bin must contain the exact rank-ceil(q·n) element
+    (true discrete quantile at bin resolution), independent of block
+    structure; nulls are excluded like SQL aggregates."""
+    import math
+
+    import ray
+
+    from logparser_ray.stages.sketch import binned_quantiles
+
+    rng = np.random.default_rng(23)
+    vals = np.concatenate(
+        [rng.exponential(40.0, 5000), rng.uniform(0, 400, 2000)]
+    )
+    col = list(vals) + [None] * 50
+    t = pa.table({"value": pa.array(col, pa.float64())})
+    outs = []
+    for blocks in (2, 9):
+        ds = ray.data.from_arrow(t).repartition(num_blocks=blocks)
+        got = binned_quantiles(ds, "value", width=10.0, qs=(0.5, 0.95, 0.99))
+        outs.append(got)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    srt = np.sort(vals)
+    for _, row in outs[0].iterrows():
+        q = float(row["q"])
+        assert row["n_total"] == len(vals)  # nulls excluded
+        exact = srt[math.ceil(q * len(vals)) - 1]  # rank-ceil(q·n) element
+        assert row["bin"] == int(np.floor(exact / 10.0)), q
