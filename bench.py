@@ -108,18 +108,24 @@ def run_bench() -> dict:
     assert n_read == top.n_turns, (n_read, top.n_turns)
 
     subprocess.run(["sync"])  # drain routed-write writeback before per-query timings
-    for name in (
-        "lineitem_pricing",
-        "events_sessionize",
-        "events_tumbling",
-        "revenue_by_nation",
-        "docs_word_freq_topk",
-        "embeddings_knn",
-        "docs_unigram_near_dupes",
-        "media_features",
+    from logparser_ray.queries import q_docs_unigram_near_dupes
+
+    for name, fn in (
+        ("lineitem_pricing", QUERIES["lineitem_pricing"]),
+        ("events_sessionize", QUERIES["events_sessionize"]),
+        ("events_tumbling", QUERIES["events_tumbling"]),
+        ("revenue_by_nation", QUERIES["revenue_by_nation"]),
+        ("docs_word_freq_topk", QUERIES["docs_word_freq_topk"]),
+        ("embeddings_knn", QUERIES["embeddings_knn"]),
+        # the MinHash path alone (not the consolidated docs_near_dup_audit
+        # union) so the timing stays comparable with BENCH_r01/r02
+        ("docs_unigram_near_dupes", q_docs_unigram_near_dupes),
+        ("media_features", QUERIES["media_features"]),
+        ("docs_curation", QUERIES["docs_curation"]),
+        ("docs_tfidf_topk", QUERIES["docs_tfidf_topk"]),
     ):
         t0 = time.perf_counter()
-        r = QUERIES[name](SF_DIR)
+        r = fn(SF_DIR)
         if hasattr(r, "count"):
             r.count()
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -974,6 +974,121 @@ def q_docs_textstats_extras(sf_dir: str):
     )
 
 
+def q_docs_curation(sf_dir: str):
+    """Gopher-style repetition/quality gate + PII redaction over documents
+    (training-data pipeline extras), SQL-oracled per doc.
+
+    The fixture corpus carries no natural PII, so the text is first
+    augmented with a DETERMINISTIC synthetic suffix (email + IPv4 + long
+    account number derived from doc_id) constructed identically in the SQL
+    oracle — the ``redacted_md5`` digest then pins the exact vectorized
+    RE2 rewrite chain (Arrow and DuckDB both run RE2) on non-trivial
+    input, not just match counts. Everything else is one zero-shuffle
+    ``map_batches`` pass (see ``stages/curation.py``)."""
+    from logparser_ray.stages.curation import (
+        curation_gate,
+        md5_col_batch,
+        pii_redact_batch,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def augment(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"]
+        aug = pc.binary_join_element_wise(
+            b["text"].combine_chunks(),
+            " contact u",
+            pc.cast(ids, pa.string()),
+            "@example.com ip 10.0.",
+            pc.cast(
+                pc.subtract(ids, pc.multiply(pc.divide(ids, 200), 200)),
+                pa.string(),
+            ),
+            ".7 acct 9",
+            pc.cast(ids, pa.string()),
+            "00000001",
+            "",
+        )
+        return b.set_column(b.schema.get_field_index("text"), "text", aug)
+
+    gated = curation_gate(
+        ds.map_batches(augment, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    red = gated.map_batches(
+        pii_redact_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return red.map_batches(
+        lambda b: md5_col_batch(b, "text_redacted", "redacted_md5"),
+        batch_format="pyarrow",
+    ).select_columns(
+        [
+            "doc_id",
+            "n_words",
+            "n_distinct",
+            "max_word_n",
+            "top_bigram_n",
+            "n_stop",
+            "n_symbol",
+            "keep",
+            "n_email",
+            "n_ipv4",
+            "n_idnum",
+            "redacted_md5",
+        ]
+    )
+
+
+def q_docs_tfidf_topk(sf_dir: str):
+    """Top-3 TF-IDF terms per document for a bounded doc subset (keyword
+    scoring — training-data pipeline extra). Corpus-wide DF via a
+    vocab-sized groupby; integer basis-point scores so ranking is
+    engine-exact. See ``stages/curation.py: tfidf_topk``."""
+    from logparser_ray.stages.curation import tfidf_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_topk(ds, k=3, target_expr="doc_id < 30")
+
+
+def q_docs_near_dup_audit(sf_dir: str):
+    """Tagged union of the three rows-only near-dup audits (MinHash-LSH
+    unigram pairs, banded-Hamming SimHash pairs, exact-simhash clusters) —
+    one driver-audited entry (audit-cap discipline; per-path semantics are
+    pinned by the planted-dup / pigeonhole-recall tests in
+    tests/test_extras.py)."""
+    import pandas as pd
+
+    mh = q_docs_unigram_near_dupes(sf_dir)
+    sp = q_docs_simhash_near_dupes(sf_dir)
+    cl = q_docs_simhash_clusters(sf_dir).to_pandas()
+    parts = [
+        pd.DataFrame(
+            {
+                "method": "minhash_unigram",
+                "a": mh["a"].astype("int64"),
+                "b": mh["b"].astype("int64"),
+                "val": np.floor(mh["jaccard"] * 10_000 + 0.5).astype("int64"),
+            }
+        ),
+        pd.DataFrame(
+            {
+                "method": "simhash_banded",
+                "a": sp["a"].astype("int64"),
+                "b": sp["b"].astype("int64"),
+                "val": sp["hamming"].astype("int64"),
+            }
+        ),
+        pd.DataFrame(
+            {
+                "method": "simhash_cluster",
+                "a": cl["min_doc_id"].astype("int64"),
+                "b": cl["n_docs"].astype("int64"),
+                "val": cl["simhash"].astype("int64"),
+            }
+        ),
+    ]
+    return pd.concat(parts, ignore_index=True)
+
+
 def q_docs_stratified_sample(sf_dir: str):
     """Deterministic per-language stratified sample (training-data
     pipeline extra: balanced eval/annotation subsets). The md5-ordered
@@ -1271,6 +1386,8 @@ QUERIES = {
     "docs_freq_templates": q_docs_freq_templates,
     "events_sketches_exact": q_events_sketches_exact,
     "docs_stratified_sample": q_docs_stratified_sample,
+    "docs_curation": q_docs_curation,
+    "docs_tfidf_topk": q_docs_tfidf_topk,
     # miner fits over the transcripts fixture, consolidated into 4 tagged
     # unions so all 13 miners run under the driver's 50-entry audit cap
     # (rows-only: order-dependent/iterative, not SQL-expressible over views)
@@ -1299,9 +1416,10 @@ QUERIES = {
     "transcripts_structured": q_transcripts_structured,
     "transcripts_conv_text_hash": q_transcripts_conv_text_hash,
     "rawlog_structured": q_rawlog_structured,
-    "docs_unigram_near_dupes": q_docs_unigram_near_dupes,
-    "docs_simhash_clusters": q_docs_simhash_clusters,
-    "docs_simhash_near_dupes": q_docs_simhash_near_dupes,
+    # MinHash pairs + SimHash pairs + simhash clusters, consolidated
+    # (audit-cap discipline — freed the slots docs_curation and
+    # docs_tfidf_topk now hold)
+    "docs_near_dup_audit": q_docs_near_dup_audit,
     # langid confusion + fingerprint clusters, consolidated (audit-cap
     # discipline — freed the slot docs_stratified_sample now holds)
     "docs_textstats_extras": q_docs_textstats_extras,
@@ -1418,6 +1536,66 @@ ORACLE = {
         "SELECT lang, doc_id, row_number() OVER ("
         "PARTITION BY lang ORDER BY md5(text) ASC, doc_id ASC) AS rn "
         "FROM documents) WHERE rn <= 20 ORDER BY lang, doc_id"
+    ),
+    # curation gate + PII redaction: the synthetic PII suffix is built
+    # identically on both sides; redacted_md5 pins the exact RE2 rewrite
+    # chain (Arrow and DuckDB both run RE2), and the keep gate uses integer
+    # cross-multiplications so no float ratio can diverge
+    "docs_curation": (
+        "WITH aug AS (SELECT doc_id, text || ' contact u' || doc_id || "
+        "'@example.com ip 10.0.' || (doc_id % 200) || '.7 acct 9' || doc_id "
+        "|| '00000001' AS text FROM documents), "
+        "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM aug), "
+        "wf AS (SELECT doc_id, tok, count(*)::BIGINT AS n FROM toks GROUP BY 1, 2), "
+        "words AS (SELECT doc_id, max(n) AS max_word_n, count(*)::BIGINT AS n_distinct, "
+        "sum(n)::BIGINT AS n_words, "
+        f"sum(CASE WHEN tok IN ({_STOPLIST_SQL}) THEN n ELSE 0 END)::BIGINT AS n_stop "
+        "FROM wf GROUP BY 1), "
+        "bi AS (SELECT t.doc_id, t.toks[i] || ' ' || t.toks[i + 1] AS bg "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM aug) t, "
+        "unnest(range(1, len(t.toks))) AS r(i)), "
+        "bf AS (SELECT doc_id, bg, count(*)::BIGINT AS n FROM bi GROUP BY 1, 2), "
+        "bmax AS (SELECT doc_id, max(n) AS top_bigram_n FROM bf GROUP BY 1), "
+        "pii AS (SELECT doc_id, "
+        "length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::BIGINT AS n_symbol, "
+        "len(regexp_extract_all(text, "
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_email, "
+        "regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+        "'<EMAIL>', 'g') AS red1 FROM aug), "
+        "pii2 AS (SELECT doc_id, n_symbol, n_email, "
+        "len(regexp_extract_all(red1, "
+        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT AS n_ipv4, "
+        "regexp_replace(red1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', "
+        "'<IP>', 'g') AS red2 FROM pii), "
+        "pii3 AS (SELECT doc_id, n_symbol, n_email, n_ipv4, "
+        "len(regexp_extract_all(red2, '\\b\\d{9,}\\b'))::BIGINT AS n_idnum, "
+        "md5(regexp_replace(red2, '\\b\\d{9,}\\b', '<ID>', 'g')) AS redacted_md5 "
+        "FROM pii2) "
+        "SELECT w.doc_id, w.n_words, w.n_distinct, w.max_word_n, "
+        "coalesce(b.top_bigram_n, 0) AS top_bigram_n, w.n_stop, p.n_symbol, "
+        "CASE WHEN w.n_words >= 10 AND w.n_words <= 100000 "
+        "AND w.max_word_n * 8 <= w.n_words "
+        "AND coalesce(b.top_bigram_n, 0) * 16 <= w.n_words "
+        "THEN 1 ELSE 0 END::BIGINT AS keep, "
+        "p.n_email, p.n_ipv4, p.n_idnum, p.redacted_md5 "
+        "FROM words w LEFT JOIN bmax b USING (doc_id) JOIN pii3 p USING (doc_id)"
+    ),
+    # integer basis-point scores (floor(tf·ln(N/df)·1e4 + 0.5)) make the
+    # per-doc ranking engine-exact; ties break on term ascending
+    "docs_tfidf_topk": (
+        "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+        "FROM documents), "
+        "tf AS (SELECT doc_id, tok AS term, count(*)::BIGINT AS tf FROM toks "
+        "GROUP BY 1, 2), "
+        "df AS (SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS df "
+        "FROM toks GROUP BY 1), "
+        "n AS (SELECT count(*)::DOUBLE AS n FROM documents), "
+        "scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, "
+        "CAST(floor(tf.tf * ln(n.n / df.df) * 10000 + 0.5) AS BIGINT) AS score_bp "
+        "FROM tf JOIN df USING (term) CROSS JOIN n WHERE tf.doc_id < 30), "
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY score_bp DESC, term ASC) AS rnk FROM scored) "
+        "SELECT doc_id, term, tf, df, score_bp, rnk FROM ranked WHERE rnk <= 3"
     ),
     "docs_lang_stats": (
         "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, "

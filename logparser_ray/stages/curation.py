@@ -1,0 +1,316 @@
+"""Corpus-curation stages for LLM training-data pipelines (build-brief
+extras): Gopher-style repetition/quality gating, PII redaction, and TF-IDF
+keyword scoring.
+
+Scale shapes (the part that matters at 100 TB):
+
+- **Repetition stats + gate** (`curation_stats_batch` / `curation_gate`):
+  each document is one row, so every statistic (modal-word count, modal-
+  bigram count, stopword/symbol counts) is computable inside ONE
+  ``map_batches`` pass with Arrow group_by on batch-local (doc, token)
+  pairs — zero shuffle, fully streaming. This is the C4/Gopher filter
+  shape: Rae et al. 2021 ("Scaling Language Models: ... Gopher") gate on
+  duplicate-line/top-n-gram fractions; Raffel et al. 2020 (C4) on
+  heuristic line rules. No reference-repo analogue (upstream logparser
+  has no corpus curation); these are the brief's training-data extras.
+- **PII redaction** (`pii_redact_batch`): an ordered chain of RE2
+  ``replace_substring_regex`` kernels (email → IPv4 → long digit runs),
+  each counted before it rewrites, again zero-shuffle per batch. RE2 is
+  also DuckDB's regex engine, so the exact rewrite is SQL-oracle-able
+  with nested ``regexp_replace(..., 'g')``.
+- **TF-IDF top-k terms** (`tfidf_topk`): document frequency is a
+  per-batch distinct-(doc, term) partial → one small ``groupby(term)``
+  sum (vocabulary-sized, not corpus-sized); the DF table then attaches to
+  per-doc term counts via ``attach_dim`` (broadcast when it fits,
+  distributed hash join past the size guard). Per-doc top-k runs inside
+  the same batch when DF is broadcast (terms of one doc never leave their
+  batch) — the only shuffle in the whole operator is the vocab-sized DF
+  aggregation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from logparser_ray.stages.textstats import STOPWORDS
+
+# Ordered PII rules: (name, RE2 pattern, replacement). Order matters —
+# emails contain dotted digit runs, so they are rewritten before the IPv4
+# rule sees the text; counts are taken on the text as each rule sees it,
+# which is the same left-to-right composition a nested SQL
+# regexp_replace chain expresses.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("idnum", r"\b\d{9,}\b", "<ID>"),
+]
+
+
+def pii_redact_batch(
+    batch: pa.Table, text_col: str = "text", out_col: str = "text_redacted"
+) -> pa.Table:
+    """Redact PII spans and count them, fully vectorized (RE2 kernels).
+
+    Appends ``n_email``/``n_ipv4``/``n_idnum`` (int64 match counts, each
+    computed on the text AFTER the preceding rules rewrote it) and
+    ``out_col`` (the redacted text). SQL parity per rule i:
+    ``regexp_replace(<prev>, pattern_i, repl_i, 'g')`` and
+    ``len(regexp_extract_all(<prev>, pattern_i))``.
+    """
+    red = batch[text_col].combine_chunks()
+    for name, pat, repl in PII_RULES:
+        batch = batch.append_column(
+            f"n_{name}",
+            pa.array(np.asarray(pc.count_substring_regex(red, pat), dtype=np.int64)),
+        )
+        red = pc.replace_substring_regex(red, pat, repl)
+    return batch.append_column(out_col, red)
+
+
+def md5_col_batch(batch: pa.Table, col: str, out_col: str) -> pa.Table:
+    """Hex md5 of a string column (the oracle-pinning digest — DuckDB
+    ``md5()`` parity). Per-row hashlib: ~1 µs/row, used on audit outputs,
+    not in the redaction hot path itself."""
+    import hashlib
+
+    h = [
+        hashlib.md5(s.encode()).hexdigest() if s is not None else None
+        for s in batch[col].to_pylist()
+    ]
+    return batch.append_column(out_col, pa.array(h, pa.string()))
+
+
+def _doc_index(offsets: np.ndarray) -> np.ndarray:
+    """Flat-token → batch-local doc index, from list offsets."""
+    return np.repeat(
+        np.arange(len(offsets) - 1, dtype=np.int64), offsets[1:] - offsets[:-1]
+    )
+
+
+def curation_stats_batch(
+    batch: pa.Table, text_col: str = "text"
+) -> pa.Table:
+    """Per-document repetition/quality statistics, one zero-shuffle pass.
+
+    Appends (all int64; SQL parity via unnest(string_split(text,' '))):
+
+    - ``n_words``     — whitespace token count (empty text counts its one
+                        empty token, matching string_split semantics)
+    - ``n_distinct``  — distinct token count
+    - ``max_word_n``  — occurrences of the modal token (Gopher's
+                        top-word-fraction numerator)
+    - ``top_bigram_n``— occurrences of the modal adjacent-token bigram
+                        (Gopher's top-2-gram-fraction numerator); 0 for
+                        docs with < 2 tokens
+    - ``n_stop``      — tokens in the STOPWORDS list
+    - ``n_symbol``    — characters outside ``[A-Za-z0-9 ]``
+    """
+    texts = batch[text_col].combine_chunks()
+    toks = pc.split_pattern(texts, " ")
+    offsets = np.asarray(toks.offsets, dtype=np.int64)
+    flat = toks.flatten()
+    n = len(batch)
+    n_words = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    di = _doc_index(offsets)
+
+    wf = (
+        pa.table({"di": pa.array(di), "tok": flat})
+        .group_by(["di", "tok"])
+        .aggregate([([], "count_all")])
+    )
+    per_doc = wf.group_by(["di"]).aggregate(
+        [("count_all", "max"), ("count_all", "count")]
+    )
+    max_word_n = np.zeros(n, np.int64)
+    n_distinct = np.zeros(n, np.int64)
+    pdi = per_doc["di"].to_numpy()
+    max_word_n[pdi] = per_doc["count_all_max"].to_numpy()
+    n_distinct[pdi] = per_doc["count_all_count"].to_numpy()
+
+    top_bigram_n = np.zeros(n, np.int64)
+    n_flat = len(flat)
+    if n_flat >= 2:
+        bg = pc.binary_join_element_wise(
+            flat.slice(0, n_flat - 1), flat.slice(1, n_flat - 1), " "
+        )
+        # a bigram starting at a doc's last token would cross into the next
+        # doc — mask those positions out
+        valid = np.ones(n_flat - 1, dtype=bool)
+        last = offsets[1:] - 1
+        valid[last[(last >= 0) & (last < n_flat - 1)]] = False
+        bt = (
+            pa.table(
+                {
+                    "di": pa.array(di[: n_flat - 1][valid]),
+                    "bg": bg.filter(pa.array(valid)),
+                }
+            )
+            .group_by(["di", "bg"])
+            .aggregate([([], "count_all")])
+        )
+        per_doc_bg = bt.group_by(["di"]).aggregate([("count_all", "max")])
+        top_bigram_n[per_doc_bg["di"].to_numpy()] = per_doc_bg[
+            "count_all_max"
+        ].to_numpy()
+
+    from logparser_ray.stages.textstats import _per_list_sum
+
+    is_stop = np.asarray(
+        pc.is_in(flat, value_set=pa.array(STOPWORDS)).fill_null(False)
+    )
+    n_stop = _per_list_sum(is_stop, offsets)
+    n_symbol = np.asarray(
+        pc.count_substring_regex(texts, r"[^A-Za-z0-9 ]"), dtype=np.int64
+    )
+
+    out = batch.append_column("n_words", pa.array(n_words))
+    out = out.append_column("n_distinct", pa.array(n_distinct))
+    out = out.append_column("max_word_n", pa.array(max_word_n))
+    out = out.append_column("top_bigram_n", pa.array(top_bigram_n))
+    out = out.append_column("n_stop", pa.array(n_stop))
+    return out.append_column("n_symbol", pa.array(n_symbol))
+
+
+# Gopher-style gate defaults, expressed as integer cross-multiplications so
+# the SQL oracle evaluates the IDENTICAL predicate (no float ratios):
+#   min_words <= n_words <= max_words
+#   max_word_n * word_ratio_den <= n_words        (modal word ≤ 1/den)
+#   top_bigram_n * bigram_ratio_den <= n_words    (modal bigram ≤ 1/den)
+GATE_DEFAULTS = {
+    "min_words": 10,
+    "max_words": 100_000,
+    "word_ratio_den": 8,
+    "bigram_ratio_den": 16,
+}
+
+
+def curation_gate(ds, text_col: str = "text", **gate):
+    """Append curation stats + an integer ``keep`` flag (1 = passes the
+    Gopher-style repetition gate). One streaming ``map_batches`` pass."""
+    params = {**GATE_DEFAULTS, **gate}
+
+    def fn(b: pa.Table) -> pa.Table:
+        out = curation_stats_batch(b, text_col)
+        nw = out["n_words"].to_numpy(zero_copy_only=False)
+        keep = (
+            (nw >= params["min_words"])
+            & (nw <= params["max_words"])
+            & (out["max_word_n"].to_numpy(zero_copy_only=False) * params["word_ratio_den"] <= nw)
+            & (
+                out["top_bigram_n"].to_numpy(zero_copy_only=False)
+                * params["bigram_ratio_den"]
+                <= nw
+            )
+        )
+        return out.append_column("keep", pa.array(keep.astype(np.int64)))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def tfidf_topk(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    target_expr: str | None = None,
+    n_docs: int | None = None,
+):
+    """Top-``k`` TF-IDF terms per document (ties: higher score first, then
+    term ascending — fully deterministic).
+
+    ``score_bp = floor(tf * ln(N / df) * 10000 + 0.5)`` as int64 basis
+    points, where N is the CORPUS document count and df the number of
+    corpus documents containing the term; ranking happens on the integer
+    score so engine float formatting can't reorder ties. ``target_expr``
+    optionally restricts which documents get scored (DF and N always come
+    from the full corpus). Pass ``n_docs`` when ``ds`` is a derived
+    lineage (``count()`` would re-execute it).
+
+    Returns a Dataset of ``(doc_id, term, tf, df, score_bp, rnk)``.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from logparser_ray.stages.joins import attach_dim
+
+    if n_docs is None:
+        n_docs = ds.count()
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b[text_col].combine_chunks(), " ")
+        di = _doc_index(np.asarray(toks.offsets, dtype=np.int64))
+        pairs = (
+            pa.table({"di": pa.array(di), "term": toks.flatten()})
+            .group_by(["di", "term"])
+            .aggregate([])
+        )
+        return (
+            pairs.group_by(["term"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["term", "df_part"])
+        )
+
+    df_ds = (
+        ds.select_columns([text_col])
+        .map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("df_part", alias_name="df"))
+    )
+
+    target = ds.filter(expr=target_expr) if target_expr else ds
+
+    def tf_batch(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b[text_col].combine_chunks(), " ")
+        di = _doc_index(np.asarray(toks.offsets, dtype=np.int64))
+        ids = b[id_col].to_numpy(zero_copy_only=False)[di]
+        return (
+            pa.table({id_col: pa.array(ids), "term": toks.flatten()})
+            .group_by([id_col, "term"])
+            .aggregate([([], "count_all")])
+            .rename_columns([id_col, "term", "tf"])
+        )
+
+    tf_ds = target.select_columns([id_col, text_col]).map_batches(
+        tf_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = attach_dim(
+        tf_ds, df_ds, fact_key="term", dim_key="term", dim_cols=["df"]
+    )
+
+    def score_topk(b: pa.Table) -> pa.Table:
+        # terms of one doc never split across batches (tf_batch emits each
+        # doc's terms contiguously and attach_dim's broadcast path is
+        # row-preserving); under the hash-join fallback this partial top-k
+        # is finalized by the groupby below.
+        tf = b["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = b["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        score = np.floor(tf * np.log(float(n_docs) / df) * 10_000 + 0.5).astype(
+            np.int64
+        )
+        b = b.append_column("score_bp", pa.array(score))
+        import pandas as pd
+
+        pdf = b.to_pandas()
+        pdf = pdf.sort_values(
+            [id_col, "score_bp", "term"], ascending=[True, False, True]
+        )
+        pdf["rnk"] = pdf.groupby(id_col).cumcount() + 1
+        return pa.Table.from_pandas(pdf[pdf["rnk"] <= k], preserve_index=False)
+
+    topk = joined.map_batches(score_topk, batch_format="pyarrow")
+    # finalize: if the join path scattered a doc's terms across batches,
+    # per-batch partials can exceed k rows per doc — re-rank the (tiny,
+    # ≤ k·batches per doc) survivors. With the broadcast path this is a
+    # no-op on already-exact rows.
+    import pandas as pd
+
+    def refine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score_bp", "term"], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return topk.groupby(id_col).map_groups(refine, batch_format="pandas")

@@ -1,0 +1,136 @@
+"""Curation-stage tests: PII redaction, Gopher-style repetition gate,
+TF-IDF top-k (stages/curation.py). Kernel tests run batch-level (no Ray);
+operator tests use the session Ray fixture."""
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from logparser_ray.stages.curation import (
+    GATE_DEFAULTS,
+    curation_gate,
+    curation_stats_batch,
+    md5_col_batch,
+    pii_redact_batch,
+    tfidf_topk,
+)
+
+
+def test_pii_redact_planted():
+    batch = pa.table(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "mail me at alice.smith+dev@corp.example.org thanks",
+                "server 192.168.10.254 and 10.0.0.1 rebooted",
+                "acct 123456789012 ref 987654321 but keep 12345 and v1.2",
+                "no pii here at all",
+            ],
+        }
+    )
+    out = pii_redact_batch(batch)
+    red = out["text_redacted"].to_pylist()
+    assert red[0] == "mail me at <EMAIL> thanks"
+    assert red[1] == "server <IP> and <IP> rebooted"
+    # 9+ digit runs are IDs; short numbers and dotted versions are not
+    assert red[2] == "acct <ID> ref <ID> but keep 12345 and v1.2"
+    assert red[3] == "no pii here at all"
+    assert out["n_email"].to_pylist() == [1, 0, 0, 0]
+    assert out["n_ipv4"].to_pylist() == [0, 2, 0, 0]
+    assert out["n_idnum"].to_pylist() == [0, 0, 2, 0]
+
+
+def test_pii_email_redacted_before_ipv4_sees_text():
+    # the dotted digits inside an email's domain must not count as an IP
+    batch = pa.table({"text": ["ping 1.2.3.4@10.0.0.1.example.com now"]})
+    out = pii_redact_batch(batch)
+    assert out["n_email"].to_pylist() == [1]
+    assert out["n_ipv4"].to_pylist() == [0]
+    assert out["text_redacted"].to_pylist() == ["ping <EMAIL> now"]
+
+
+def test_curation_stats_modal_counts_and_boundaries():
+    batch = pa.table(
+        {
+            "text": [
+                "a b a b a x",  # modal word 'a'×3, modal bigram 'a b'×2
+                "z z z",  # modal word 'z'×3, modal bigram 'z z'×2
+                "solo",  # single token → no bigram
+                "",  # empty → one empty token (string_split parity)
+            ]
+        }
+    )
+    out = curation_stats_batch(batch)
+    assert out["n_words"].to_pylist() == [6, 3, 1, 1]
+    assert out["n_distinct"].to_pylist() == [3, 1, 1, 1]
+    assert out["max_word_n"].to_pylist() == [3, 3, 1, 1]
+    assert out["top_bigram_n"].to_pylist() == [2, 2, 0, 0]
+    # stopword 'a' counted; boundary: last token of doc0 ('x') must not
+    # pair with doc1's first token ('z') — 'x z' would otherwise appear
+    assert out["n_stop"].to_pylist() == [3, 0, 0, 0]
+
+
+def test_curation_gate_keep_flag(ray_session):
+    texts = [
+        " ".join(f"w{i}" for i in range(20)),  # diverse → keep
+        " ".join(["dup"] * 20),  # modal word 20/20 → drop
+        "too short",  # n_words 2 < min → drop
+    ]
+    ds = ray.data.from_arrow(pa.table({"text": texts}))
+    out = curation_gate(ds).to_pandas().sort_values("n_distinct", ascending=False)
+    assert out["keep"].tolist() == [1, 0, 0]
+    assert GATE_DEFAULTS["min_words"] > 2
+
+
+def test_md5_col_matches_hashlib():
+    import hashlib
+
+    batch = pa.table({"t": ["abc", "", None]})
+    out = md5_col_batch(batch, "t", "h")
+    assert out["h"].to_pylist() == [
+        hashlib.md5(b"abc").hexdigest(),
+        hashlib.md5(b"").hexdigest(),
+        None,
+    ]
+
+
+def test_tfidf_topk_hand_computed(ray_session):
+    # corpus of 4 docs; 'rare' appears only in doc 0 → highest idf there
+    docs = [
+        "common rare common",
+        "common common",
+        "common other",
+        "common other other",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(4)), "text": docs})
+    )
+    out = (
+        tfidf_topk(ds, k=2, n_docs=4)
+        .to_pandas()
+        .sort_values(["doc_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    d0 = out[out["doc_id"] == 0]
+    assert d0.iloc[0]["term"] == "rare"
+    assert d0.iloc[0]["df"] == 1
+    assert d0.iloc[0]["score_bp"] == int(
+        np.floor(1 * np.log(4 / 1) * 10_000 + 0.5)
+    )
+    # 'common' has df=4 → idf ln(1)=0 → score 0 everywhere
+    assert (out[out["term"] == "common"]["score_bp"] == 0).all()
+    # k=2 respected, ranks are 1..k
+    assert out.groupby("doc_id")["rnk"].max().le(2).all()
+    assert out.groupby("doc_id")["rnk"].min().eq(1).all()
+
+
+def test_tfidf_target_expr_restricts_docs_not_df(ray_session):
+    docs = ["x y", "x z", "x z"]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(3)), "text": docs})
+    )
+    out = tfidf_topk(ds, k=3, target_expr="doc_id == 0").to_pandas()
+    assert set(out["doc_id"]) == {0}
+    # df computed on the FULL corpus: 'y' df=1, 'x' df=3
+    assert out.set_index("term")["df"]["y"] == 1
+    assert out.set_index("term")["df"]["x"] == 3
