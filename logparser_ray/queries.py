@@ -157,16 +157,61 @@ def q_docs_dedup_exact(sf_dir: str):
     return exact_dedup_representatives(ds)
 
 
-def q_docs_lang_stats(sf_dir: str):
-    from ray.data.aggregate import Count, Max, Sum
+def q_docs_lang_profile(sf_dir: str):
+    """Per-language corpus profile: doc/char counts + stopword-ratio
+    quality average, ONE partial-aggregate pass (merges the former
+    docs_lang_stats and docs_quality_by_lang entries — audit-cap
+    discipline, and one streaming pass instead of two)."""
+    from ray.data.aggregate import Max, Sum
 
-    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
-    agg = ds.groupby("lang").aggregate(
-        Count(alias_name="n_docs"),
-        Sum("n_chars", alias_name="sum_chars"),
-        Max("n_chars", alias_name="max_chars"),
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        q = quality_batch(b)  # adds stop_ratio (rounded 4) per row
+        t = pa.table(
+            {
+                "lang": q["lang"],
+                "n_chars": q["n_chars"],
+                "stop_ratio": q["stop_ratio"],
+            }
+        )
+        agg = t.group_by(["lang"]).aggregate(
+            [
+                ([], "count_all"),
+                ("n_chars", "sum"),
+                ("n_chars", "max"),
+                ("stop_ratio", "sum"),
+            ]
+        )
+        return agg.rename_columns(
+            ["lang", "n_docs", "sum_chars", "max_chars", "sum_ratio"]
+        )
+
+    p = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = p.groupby("lang").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("sum_chars", alias_name="sum_chars"),
+        Max("max_chars", alias_name="max_chars"),
+        Sum("sum_ratio", alias_name="sum_ratio"),
     )
-    return agg
+
+    def finish(b: pa.Table) -> pa.Table:
+        avg = np.round(
+            b["sum_ratio"].to_numpy(zero_copy_only=False)
+            / b["n_docs"].to_numpy(zero_copy_only=False),
+            3,
+        )
+        return pa.table(
+            {
+                "lang": b["lang"],
+                "n_docs": b["n_docs"],
+                "sum_chars": pc.cast(b["sum_chars"], pa.int64()),
+                "max_chars": b["max_chars"],
+                "avg_stop_ratio": pa.array(avg),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def q_top_sources(sf_dir: str):
@@ -735,41 +780,6 @@ def q_purchase_asof_click(sf_dir: str):
     return out.map_batches(finish, batch_format="pandas")
 
 
-def q_docs_quality_by_lang(sf_dir: str):
-    """Stopword-ratio quality score aggregated per lang (SQL-checkable)."""
-    ds = _read(sf_dir, "documents", columns=["lang", "text"])
-
-    def partial(b: pa.Table) -> pa.Table:
-        q = quality_batch(b)  # adds n_tok / stop_ratio (rounded 4) per row
-        t = pa.table(
-            {
-                "lang": q["lang"],
-                "stop_ratio": q["stop_ratio"],
-            }
-        )
-        agg = t.group_by(["lang"]).aggregate([("stop_ratio", "sum"), ([], "count_all")])
-        return agg.rename_columns(["lang", "sum_ratio", "n_docs"])
-
-    from ray.data.aggregate import Sum
-
-    p = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    agg = p.groupby("lang").aggregate(
-        Sum("sum_ratio", alias_name="sum_ratio"), Sum("n_docs", alias_name="n_docs")
-    )
-
-    def finish(b: pa.Table) -> pa.Table:
-        avg = np.round(
-            b["sum_ratio"].to_numpy(zero_copy_only=False)
-            / b["n_docs"].to_numpy(zero_copy_only=False),
-            3,
-        )
-        return pa.table(
-            {"lang": b["lang"], "n_docs": b["n_docs"], "avg_stop_ratio": pa.array(avg)}
-        )
-
-    return agg.map_batches(finish, batch_format="pyarrow")
-
-
 def _query_vec(sf_dir: str, vec_id: int = 0) -> np.ndarray:
     """Fetch one query embedding via a direct parquet row-group read (the
     previous ``ds.filter(...).to_pandas()`` scanned the whole table through
@@ -1089,18 +1099,86 @@ def q_docs_near_dup_audit(sf_dir: str):
     return pd.concat(parts, ignore_index=True)
 
 
-def q_docs_stratified_sample(sf_dir: str):
-    """Deterministic per-language stratified sample (training-data
-    pipeline extra: balanced eval/annotation subsets). The md5-ordered
-    draw is bit-reproducible in SQL — see
-    ``stages/sample.py: sample_stratified``."""
-    from logparser_ray.stages.sample import sample_stratified
+def q_docs_sampling(sf_dir: str):
+    """Tagged union of the two deterministic samplers, both SQL-oracled:
+    per-language stratified min-k draw (balanced eval subsets —
+    ``sample_stratified``, md5-ordered) and per-source mixture-rate
+    sampling (Pile-style source reweighting — ``sample_by_rates``,
+    md5-hex-prefix thresholding). One driver-audited entry; the former
+    ``docs_stratified_sample`` rows ride as ``part='stratified'``."""
+    import pandas as pd
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
-    return sample_stratified(
+    from logparser_ray.stages.sample import sample_by_rates, sample_stratified
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "source", "text"])
+    strat = sample_stratified(
         ds, group_col="lang", key_col="text", tiebreak_col="doc_id",
         n_per_group=20,
     )
+    mix = (
+        sample_by_rates(
+            ds,
+            group_col="source",
+            key_col="text",
+            rates=MIXTURE_RATES,
+            default_rate=0.05,
+        )
+        .select_columns(["source", "doc_id"])
+        .to_pandas()
+    )
+    parts = [
+        pd.DataFrame(
+            {
+                "part": "stratified",
+                "grp": strat["lang"].astype(str),
+                "doc_id": strat["doc_id"].astype("int64"),
+            }
+        ),
+        pd.DataFrame(
+            {
+                "part": "mixture",
+                "grp": mix["source"].astype(str),
+                "doc_id": mix["doc_id"].astype("int64"),
+            }
+        ),
+    ]
+    return (
+        pd.concat(parts, ignore_index=True)
+        .sort_values(["part", "grp", "doc_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+# Pile-style mixture weights for the sampling query — keys are the fixture
+# `source` values; thresholds must match the SQL oracle's hex literals
+MIXTURE_RATES = {"src0": 0.75, "src1": 0.25, "src2": 0.5}
+
+
+def q_docs_decontaminate(sf_dir: str):
+    """Benchmark decontamination (GPT-3/PaLM 13-gram method) — flag
+    training docs sharing any 13-gram with a benchmark set. The benchmark
+    here is a deterministic slice of the corpus itself (every 97th doc),
+    so planted duplicates and self-hits make the flag non-trivial; the
+    SQL oracle rebuilds the identical n-gram join."""
+    from logparser_ray.stages.curation import decontaminate
+
+    import pyarrow.parquet as pq
+
+    bench = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    # benchmark = docs with doc_id % 97 == 0 (deterministic, tiny)
+    mask = pc.equal(
+        pc.subtract(
+            bench["doc_id"],
+            pc.multiply(pc.divide(bench["doc_id"], 97), 97),
+        ),
+        0,
+    )
+    bench_texts = bench.filter(mask)["text"].to_pylist()
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return decontaminate(ds, bench_texts, n=13)
 
 
 def q_media_features(sf_dir: str):
@@ -1367,8 +1445,7 @@ QUERIES = {
     "docs_token_counts": q_docs_token_counts,
     "docs_word_freq_topk": q_docs_word_freq_topk,
     "docs_dedup_exact": q_docs_dedup_exact,
-    "docs_lang_stats": q_docs_lang_stats,
-    "docs_quality_by_lang": q_docs_quality_by_lang,
+    "docs_lang_profile": q_docs_lang_profile,
     "top_sources": q_top_sources,
     "orders_customer_join": q_orders_customer_join,
     "customers_semi_anti": q_customers_semi_anti,
@@ -1385,9 +1462,10 @@ QUERIES = {
     "embeddings_near_dupes": q_embeddings_near_dupes,
     "docs_freq_templates": q_docs_freq_templates,
     "events_sketches_exact": q_events_sketches_exact,
-    "docs_stratified_sample": q_docs_stratified_sample,
+    "docs_sampling": q_docs_sampling,
     "docs_curation": q_docs_curation,
     "docs_tfidf_topk": q_docs_tfidf_topk,
+    "docs_decontaminate": q_docs_decontaminate,
     # miner fits over the transcripts fixture, consolidated into 4 tagged
     # unions so all 13 miners run under the driver's 50-entry audit cap
     # (rows-only: order-dependent/iterative, not SQL-expressible over views)
@@ -1531,11 +1609,23 @@ ORACLE = {
     # the md5 hex digest is the shared deterministic ordering key: DuckDB's
     # md5(text) emits the identical lowercase hex the Ray operator computes
     # with hashlib, so both engines draw the SAME 20 docs per language
-    "docs_stratified_sample": (
-        "SELECT lang, doc_id FROM ("
+    # two deterministic samplers, one union: the md5 hex digest is the
+    # shared "random" order/threshold both engines reproduce bit-for-bit
+    # (hex-string comparison ≡ 32-bit numeric comparison); the mixture
+    # CASE thresholds are format(int(rate·2³²), '08x') of MIXTURE_RATES
+    "docs_sampling": (
+        "SELECT 'stratified' AS part, lang AS grp, doc_id FROM ("
         "SELECT lang, doc_id, row_number() OVER ("
         "PARTITION BY lang ORDER BY md5(text) ASC, doc_id ASC) AS rn "
-        "FROM documents) WHERE rn <= 20 ORDER BY lang, doc_id"
+        "FROM documents) WHERE rn <= 20 "
+        "UNION ALL "
+        "SELECT 'mixture' AS part, source AS grp, doc_id FROM documents "
+        "WHERE substr(md5(text), 1, 8) < (CASE source "
+        + " ".join(
+            f"WHEN '{g}' THEN '{format(min(int(r * (1 << 32)), (1 << 32) - 1), '08x')}'"
+            for g, r in sorted(MIXTURE_RATES.items())
+        )
+        + " ELSE '0ccccccc' END)"
     ),
     # curation gate + PII redaction: the synthetic PII suffix is built
     # identically on both sides; redacted_md5 pins the exact RE2 rewrite
@@ -1597,16 +1687,29 @@ ORACLE = {
         "ORDER BY score_bp DESC, term ASC) AS rnk FROM scored) "
         "SELECT doc_id, term, tf, df, score_bp, rnk FROM ranked WHERE rnk <= 3"
     ),
-    "docs_lang_stats": (
+    "docs_lang_profile": (
         "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
-        "max(n_chars) AS max_chars FROM documents GROUP BY lang"
-    ),
-    "docs_quality_by_lang": (
-        "SELECT lang, count(*) AS n_docs, "
+        "max(n_chars) AS max_chars, "
         "round(avg(round(CAST(len(list_filter(string_split(text, ' '), "
         f"x -> x IN ({_STOPLIST_SQL}))) AS DOUBLE) "
         "/ greatest(len(string_split(text, ' ')), 1), 4)), 3) AS avg_stop_ratio "
         "FROM documents GROUP BY lang"
+    ),
+    # 13-gram decontamination: benchmark = every 97th doc; DuckDB list
+    # slicing is 1-based inclusive, so toks[i:i+12] is a 13-gram
+    "docs_decontaminate": (
+        "WITH bench AS (SELECT text FROM documents WHERE doc_id % 97 = 0), "
+        "bgrams AS (SELECT DISTINCT array_to_string(t.toks[i:i+12], ' ') AS g "
+        "FROM (SELECT string_split(text, ' ') AS toks FROM bench) t, "
+        "unnest(range(1, len(t.toks) - 11)) AS r(i)), "
+        "dgrams AS (SELECT doc_id, array_to_string(t.toks[i:i+12], ' ') AS g "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t, "
+        "unnest(range(1, len(t.toks) - 11)) AS r(i)), "
+        "hits AS (SELECT d.doc_id, count(*)::BIGINT AS n_hits FROM dgrams d "
+        "JOIN bgrams b USING (g) GROUP BY 1) "
+        "SELECT doc.doc_id, coalesce(h.n_hits, 0) AS n_hits, "
+        "(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END)::BIGINT "
+        "AS contaminated FROM documents doc LEFT JOIN hits h USING (doc_id)"
     ),
     "top_sources": (
         "SELECT source, count(*) AS n FROM documents GROUP BY source "

@@ -209,6 +209,73 @@ def curation_gate(ds, text_col: str = "text", **gate):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _ngram_strings(texts: pa.Array, n: int) -> tuple[pa.Array, np.ndarray]:
+    """All n-token n-grams (space-joined strings) of a batch of texts,
+    plus the doc index of each n-gram. Built from the flat token stream
+    with n slices + one vectorized join; n-grams that would cross a doc
+    boundary are masked out. Docs with < n tokens contribute nothing."""
+    toks = pc.split_pattern(texts, " ")
+    offsets = np.asarray(toks.offsets, dtype=np.int64)
+    flat = toks.flatten()
+    n_flat = len(flat)
+    if n_flat < n:
+        return pa.array([], pa.string()), np.empty(0, np.int64)
+    parts = [flat.slice(j, n_flat - n + 1) for j in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    di = _doc_index(offsets)[: n_flat - n + 1]
+    # an n-gram starting at position i is valid iff positions i..i+n-1 are
+    # in the same doc ⇔ i + n - 1 < end-offset of i's doc
+    ends = offsets[1:][di]
+    starts_ok = np.arange(n_flat - n + 1, dtype=np.int64) + n - 1 < ends
+    return grams.filter(pa.array(starts_ok)), di[starts_ok]
+
+
+def decontaminate(
+    ds,
+    benchmark_texts: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+):
+    """Benchmark decontamination: flag training documents sharing any
+    n-token n-gram with an evaluation/benchmark set (the GPT-3 appendix-C
+    / PaLM method — Brown et al. 2020, Chowdhery et al. 2022; n=13 is
+    GPT-3's choice).
+
+    The benchmark n-gram set is eval-corpus-sized (tiny next to training
+    data): built once on the driver, broadcast via ``ray.put``, and each
+    batch does one vectorized n-gram build + ``pc.is_in`` — zero shuffle,
+    fully streaming. Returns per-doc ``(id_col, n_hits, contaminated)``
+    where ``n_hits`` counts the doc's n-gram OCCURRENCES present in the
+    benchmark set (SQL parity: join doc n-grams against benchmark
+    n-grams, count matches).
+    """
+    import ray
+
+    bench_tbl = pa.array(benchmark_texts, pa.string())
+    bench_grams, _ = _ngram_strings(bench_tbl, n)
+    bench_set = ray.put(pc.unique(bench_grams))
+
+    def flag(b: pa.Table) -> pa.Table:
+        bset = ray.get(bench_set)
+        grams, di = _ngram_strings(b[text_col].combine_chunks(), n)
+        hit = np.asarray(pc.is_in(grams, value_set=bset).fill_null(False))
+        # per-doc hit counts via bincount over the doc index
+        n_hits = np.bincount(di[hit], minlength=len(b)).astype(np.int64)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_hits": pa.array(n_hits),
+                "contaminated": pa.array((n_hits > 0).astype(np.int64)),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        flag, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def tfidf_topk(
     ds,
     *,

@@ -118,6 +118,56 @@ def sample_min_k_by_hash(
     return out if as_arrow else out.to_pandas()
 
 
+def sample_by_rates(
+    ds,
+    *,
+    group_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+):
+    """Deterministic per-group mixture sampling (Pile-style source
+    reweighting, Gao et al. 2020): keep a row iff the first 8 hex chars
+    of ``md5(key)`` fall below the group's rate threshold. Comparing HEX
+    STRINGS is equivalent to comparing the 32-bit values (hex digits are
+    lexicographically ordered), so the draw is bit-reproducible in SQL:
+    ``substr(md5(key), 1, 8) < '<threshold-hex>'``.
+
+    Zero shuffle — one streaming ``map_batches`` filter pass; the rate
+    table is closure-captured (it is mixture-weights-sized, i.e. tiny).
+    Unknown groups use ``default_rate``; null keys are dropped (their
+    draw is undefined, matching SQL where ``md5(NULL)`` is NULL).
+    Returns a Dataset of the kept rows (all input columns).
+    """
+    import hashlib
+
+    thresholds = {
+        g: format(min(int(r * (1 << 32)), (1 << 32) - 1), "08x")
+        for g, r in rates.items()
+    }
+    default_thr = format(
+        min(int(default_rate * (1 << 32)), (1 << 32) - 1), "08x"
+    )
+
+    def keep_batch(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b[key_col]))
+        keys = b[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+        groups = b[group_col].combine_chunks().to_numpy(zero_copy_only=False)
+        prefs = np.fromiter(
+            (hashlib.md5(k.encode("utf-8")).hexdigest()[:8] for k in keys),
+            dtype=object,
+            count=len(keys),
+        )
+        thrs = np.fromiter(
+            (thresholds.get(g, default_thr) for g in groups),
+            dtype=object,
+            count=len(groups),
+        )
+        return b.filter(pa.array(prefs < thrs))
+
+    return ds.map_batches(keep_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def sample_stratified(
     ds,
     *,

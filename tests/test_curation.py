@@ -134,3 +134,68 @@ def test_tfidf_target_expr_restricts_docs_not_df(ray_session):
     # df computed on the FULL corpus: 'y' df=1, 'x' df=3
     assert out.set_index("term")["df"]["y"] == 1
     assert out.set_index("term")["df"]["x"] == 3
+
+
+def test_decontaminate_planted_overlap(ray_session):
+    from logparser_ray.stages.curation import decontaminate
+
+    bench = ["the quick brown fox jumps over the lazy dog near the old barn today"]
+    span = " ".join(bench[0].split()[:13])  # exact 13-gram from the benchmark
+    docs = [
+        "prefix words here " + span + " suffix words",  # contaminated
+        "completely unrelated text with enough tokens to form many grams "
+        "but none shared with the benchmark set at all here",  # clean
+        "too short to have grams",  # < 13 tokens → never contaminated
+    ]
+    import ray
+
+    ds = ray.data.from_arrow(pa.table({"doc_id": [0, 1, 2], "text": docs}))
+    out = decontaminate(ds, bench, n=13).to_pandas().sort_values("doc_id")
+    assert out["contaminated"].tolist() == [1, 0, 0]
+    assert out["n_hits"].iloc[0] >= 1
+    assert out["n_hits"].iloc[1] == 0
+
+
+def test_ngram_strings_do_not_cross_doc_boundary():
+    from logparser_ray.stages.curation import _ngram_strings
+
+    texts = pa.array(["a b c", "d e f"], pa.string())
+    grams, di = _ngram_strings(texts, 3)
+    assert grams.to_pylist() == ["a b c", "d e f"]
+    assert di.tolist() == [0, 1]
+    # bigrams: 'c d' (crossing) must be absent
+    g2, _ = _ngram_strings(texts, 2)
+    assert "c d" not in g2.to_pylist()
+
+
+def test_sample_by_rates_deterministic_and_thresholded(ray_session):
+    import hashlib
+
+    import ray
+    from logparser_ray.stages.sample import sample_by_rates
+
+    texts = [f"text number {i}" for i in range(200)]
+    groups = ["g0" if i % 2 == 0 else "g1" for i in range(200)]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(200)), "source": groups, "text": texts})
+    )
+    rates = {"g0": 1.0, "g1": 0.3}
+    kept = (
+        sample_by_rates(
+            ds, group_col="source", key_col="text", rates=rates, default_rate=0.0
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    # rate 1.0 keeps every g0 row
+    assert (kept["source"] == "g0").sum() == 100
+    # g1 rows match the manual md5-prefix rule exactly
+    thr = format(int(0.3 * (1 << 32)), "08x")
+    expect_g1 = {
+        i
+        for i in range(200)
+        if groups[i] == "g1"
+        and hashlib.md5(texts[i].encode()).hexdigest()[:8] < thr
+    }
+    assert set(kept[kept["source"] == "g1"]["doc_id"]) == expect_g1
+    assert 0 < len(expect_g1) < 100  # the threshold actually splits
