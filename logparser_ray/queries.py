@@ -127,11 +127,18 @@ def q_docs_regex_route(sf_dir: str):
 
 
 def q_docs_token_counts(sf_dir: str):
-    """Whitespace + BPE-ish-regex token counts per doc (both SQL-oracled)."""
+    """Whitespace + BPE-ish-regex token counts per doc, plus the greedy
+    document-boundary sequence-packing assignment (``seq_id`` — training
+    sequences of ≤1024 tokens via the distributed ordered prefix scan in
+    ``stages/pack.py``). All three columns SQL-oracled; seq_id is SQL's
+    exclusive running sum // budget window expression."""
+    from logparser_ray.stages.pack import pack_sequences
+
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(
+    counted = ds.map_batches(
         token_count_batch, batch_format="pyarrow", zero_copy_batch=True
     ).select_columns(["doc_id", "n_tok", "n_tok_bpe"])
+    return pack_sequences(counted, id_col="doc_id", tok_col="n_tok", budget=1024)
 
 
 def q_docs_word_freq_topk(sf_dir: str):
@@ -283,21 +290,61 @@ def q_parts_by_type(sf_dir: str):
     )
 
 
-def q_suppliers_per_nation(sf_dir: str):
-    """supplier ⋈ nation broadcast lookup → counts per nation name."""
+def q_suppliers_star(sf_dir: str):
+    """Two-hop star join: supplier ⋈ nation ⋈ region → counts per
+    (region, nation) name pair. Merges the former nation_region_join and
+    suppliers_per_nation entries (audit-cap discipline) while covering
+    BOTH broadcast-lookup styles in one query: Arrow ``index_in``+``take``
+    for the nation hop and a Python-dict ``map`` for the region hop."""
     nation = pa.concat_tables(
-        [ray.get(r) for r in _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_arrow_refs()]
+        [
+            ray.get(r)
+            for r in _read(
+                sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"]
+            ).to_arrow_refs()
+        ]
     )
-    ref = ray.put(nation)
+    region = _read(sf_dir, "region").to_pandas()
+    n_ref = ray.put(nation)
+    r_ref = ray.put(dict(zip(region["r_regionkey"], region["r_name"])))
     ds = _read(sf_dir, "supplier", columns=["s_nationkey"])
 
     def fn(b: pa.Table) -> pa.Table:
-        dim = ray.get(ref)
-        idx = pc.index_in(b["s_nationkey"], value_set=dim["n_nationkey"].combine_chunks())
-        return pa.table({"n_name": dim["n_name"].combine_chunks().take(idx)})
+        dim = ray.get(n_ref)
+        rlut = ray.get(r_ref)
+        idx = pc.index_in(
+            b["s_nationkey"], value_set=dim["n_nationkey"].combine_chunks()
+        )
+        n_name = dim["n_name"].combine_chunks().take(idx)
+        rkeys = dim["n_regionkey"].combine_chunks().take(idx).to_pylist()
+        r_name = pa.array([rlut.get(k) for k in rkeys], pa.string())
+        return pa.table({"r_name": r_name, "n_name": n_name})
 
     mapped = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
-    return grouped_count(mapped, ["n_name"], alias="n_suppliers")
+    return grouped_count(mapped, ["r_name", "n_name"], alias="n_suppliers")
+
+
+def q_events_lag_lead(sf_dir: str):
+    """LAG/LEAD window functions per user in (ts, event_id) order, via the
+    hot-key-safe bucketed operator (``stages/windows.py:
+    lag_lead_bucketed``). Per-user-first/last nulls are encoded -1 on both
+    sides so the comparison stays integer-exact."""
+    from logparser_ray.stages.windows import lag_lead_bucketed
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = lag_lead_bucketed(ds)
+
+    def fill(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "prev_id": pc.fill_null(b["prev_id"], -1),
+                "next_id": pc.fill_null(b["next_id"], -1),
+            }
+        )
+
+    return out.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_events_union_extremes(sf_dir: str):
@@ -349,20 +396,6 @@ def q_lineitem_pricing(sf_dir: str):
         Sum("revenue_cents", alias_name="revenue_cents"),
         Sum("n", alias_name="n"),
     )
-
-
-def q_nation_region_join(sf_dir: str):
-    region = _read(sf_dir, "region").to_pandas()
-    ref = ray.put(dict(zip(region["r_regionkey"], region["r_name"])))
-    ds = _read(sf_dir, "nation", columns=["n_regionkey"])
-
-    def fn(b: pd.DataFrame) -> pd.DataFrame:
-        lut = ray.get(ref)
-        b["r_name"] = b["n_regionkey"].map(lut)
-        return b[["r_name"]]
-
-    mapped = ds.map_batches(fn, batch_format="pandas")
-    return grouped_count(mapped, ["r_name"], alias="n_nations")
 
 
 def q_customers_semi_anti(sf_dir: str):
@@ -1454,9 +1487,9 @@ QUERIES = {
     "orders_monthly": q_orders_monthly,
     "top_orders_per_segment": q_top_orders_per_segment,
     "lineitem_pricing": q_lineitem_pricing,
-    "nation_region_join": q_nation_region_join,
     "parts_by_type": q_parts_by_type,
-    "suppliers_per_nation": q_suppliers_per_nation,
+    "suppliers_star": q_suppliers_star,
+    "events_lag_lead": q_events_lag_lead,
     "events_union_extremes": q_events_union_extremes,
     "embeddings_knn": q_embeddings_knn,
     "embeddings_near_dupes": q_embeddings_near_dupes,
@@ -1593,10 +1626,15 @@ ORACLE = {
         "ELSE '_fallthrough' END AS route, count(*) AS n "
         "FROM documents GROUP BY route"
     ),
+    # seq_id = greedy document-boundary sequence packing: the bin the
+    # exclusive prefix token count falls in (budget 1024)
     "docs_token_counts": (
         "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, "
         "CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) "
-        "AS BIGINT) AS n_tok_bpe FROM documents"
+        "AS BIGINT) AS n_tok_bpe, "
+        "coalesce(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER ("
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "// 1024 AS seq_id FROM documents"
     ),
     "docs_word_freq_topk": (
         "SELECT tok, count(*) AS n FROM "
@@ -1762,19 +1800,25 @@ ORACLE = {
         "AS revenue_cents, count(*) AS n "
         "FROM lineitem GROUP BY l_returnflag, l_linestatus"
     ),
-    "nation_region_join": (
-        "SELECT r.r_name, count(*) AS n_nations FROM nation n "
-        "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name"
+    "suppliers_star": (
+        "SELECT r.r_name, n.n_name, count(*) AS n_suppliers FROM supplier s "
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "GROUP BY r.r_name, n.n_name"
+    ),
+    # per-user-first/last have no lag/lead: encoded -1 on both sides so
+    # the value comparison stays integer-exact (no nullable-int coercion)
+    "events_lag_lead": (
+        "SELECT event_id, user_id, "
+        "coalesce(lag(event_id) OVER w, -1) AS prev_id, "
+        "coalesce(lead(event_id) OVER w, -1) AS next_id "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
     ),
     "parts_by_type": (
         "SELECT regexp_extract(p_type, '^(\\S+)', 1) AS type_word, "
         "count(*) AS n_parts, "
         "CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents "
         "FROM part GROUP BY 1"
-    ),
-    "suppliers_per_nation": (
-        "SELECT n.n_name, count(*) AS n_suppliers FROM supplier s "
-        "JOIN nation n ON s.s_nationkey = n.n_nationkey GROUP BY n.n_name"
     ),
     "events_union_extremes": (
         "SELECT event_type, count(*) AS n FROM ("

@@ -284,6 +284,7 @@ def tfidf_topk(
     k: int = 3,
     target_expr: str | None = None,
     n_docs: int | None = None,
+    broadcast_max_bytes: int | None = None,
 ):
     """Top-``k`` TF-IDF terms per document (ties: higher score first, then
     term ascending — fully deterministic).
@@ -343,15 +344,8 @@ def tfidf_topk(
     tf_ds = target.select_columns([id_col, text_col]).map_batches(
         tf_batch, batch_format="pyarrow", zero_copy_batch=True
     )
-    joined = attach_dim(
-        tf_ds, df_ds, fact_key="term", dim_key="term", dim_cols=["df"]
-    )
 
     def score_topk(b: pa.Table) -> pa.Table:
-        # terms of one doc never split across batches (tf_batch emits each
-        # doc's terms contiguously and attach_dim's broadcast path is
-        # row-preserving); under the hash-join fallback this partial top-k
-        # is finalized by the groupby below.
         tf = b["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
         df = b["df"].to_numpy(zero_copy_only=False).astype(np.float64)
         score = np.floor(tf * np.log(float(n_docs) / df) * 10_000 + 0.5).astype(
@@ -367,11 +361,45 @@ def tfidf_topk(
         pdf["rnk"] = pdf.groupby(id_col).cumcount() + 1
         return pa.Table.from_pandas(pdf[pdf["rnk"] <= k], preserve_index=False)
 
+    # The DF table is vocabulary-sized (bounded, not corpus-sized): pin it
+    # once so the size probe and the broadcast don't each re-execute the
+    # aggregation lineage.
+    from logparser_ray.stages.joins import BROADCAST_MAX_BYTES
+
+    if broadcast_max_bytes is None:
+        broadcast_max_bytes = BROADCAST_MAX_BYTES
+    df_mat = df_ds.materialize()
+    if df_mat.size_bytes() <= broadcast_max_bytes:
+        # broadcast path: one map_batches does lookup + score + EXACT
+        # per-doc top-k (tf_batch emits each doc's terms inside one batch,
+        # so no cross-batch finalize is needed — zero extra exchanges)
+        tbl = pa.concat_tables(
+            [t for t in ray.get(df_mat.to_arrow_refs()) if t.num_rows]
+        )
+        ref = ray.put(tbl)
+
+        def lookup_score(b: pa.Table) -> pa.Table:
+            d = ray.get(ref)
+            idx = pc.index_in(b["term"], value_set=d["term"].combine_chunks())
+            b = b.append_column("df", d["df"].combine_chunks().take(idx))
+            return score_topk(b)
+
+        return tf_ds.map_batches(
+            lookup_score, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    # join fallback (vocab too big to broadcast): a doc's terms scatter
+    # across partitions, so per-batch top-k is a partial — finalize with a
+    # per-doc re-rank over the tiny (≤ k·partitions per doc) survivors
+    joined = attach_dim(
+        tf_ds,
+        df_mat,
+        fact_key="term",
+        dim_key="term",
+        dim_cols=["df"],
+        dim_bytes_hint=df_mat.size_bytes(),
+    )
     topk = joined.map_batches(score_topk, batch_format="pyarrow")
-    # finalize: if the join path scattered a doc's terms across batches,
-    # per-batch partials can exceed k rows per doc — re-rank the (tiny,
-    # ≤ k·batches per doc) survivors. With the broadcast path this is a
-    # no-op on already-exact rows.
     import pandas as pd
 
     def refine(g: pd.DataFrame) -> pd.DataFrame:

@@ -97,7 +97,17 @@ def attach_dim(
         # the same schema: fact columns + dim_cols
         return joined
 
-    tbl = pa.concat_tables([ray.get(r) for r in proj.to_arrow_refs()])
+    parts = [ray.get(r) for r in proj.to_arrow_refs()]
+    # hash-aggregated dims can emit empty blocks with a EMPTY (zero-column)
+    # schema — concat_tables rejects the mismatch, so drop them first
+    nonempty = [t for t in parts if t.num_rows > 0]
+    if nonempty:
+        tbl = pa.concat_tables(nonempty)
+    else:
+        sch = proj.schema()
+        tbl = pa.table(
+            {n: pa.array([], t) for n, t in zip(sch.names, sch.types)}
+        )
     ref = ray.put(tbl)
 
     def lookup(b: pa.Table) -> pa.Table:

@@ -25,6 +25,172 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def lag_lead_bucketed(
+    ds,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    bucket_s: int = 86_400,
+):
+    """Per-event LAG/LEAD window functions over ``(PARTITION BY user ORDER
+    BY ts, id)``, hot-key-safe. Returns a Dataset ``(id_col, user_col,
+    prev_id, next_id)`` — exactly SQL's ``lag(id) OVER w`` / ``lead(id)
+    OVER w``.
+
+    Same two-exchange decomposition as ``sessionize_bucketed``: phase 1
+    shuffles on the finer ``(user, time_bucket)`` key and computes
+    lag/lead locally — correct for every row except each bucket's FIRST
+    (its lag lives in the previous bucket) and LAST (its lead lives in
+    the next). Those edge rows — two per (user, bucket), regardless of
+    how hot the user is — go through a second, tiny exchange keyed on
+    user alone, where one sorted scan fills the boundary sides: a first
+    row's lag is the previous present bucket's last event, a last row's
+    lead is the next present bucket's first event. Interior rows never
+    move twice, so worker memory stays bounded by one (user, bucket)
+    slice while the result equals the single-partition window scan for
+    every input (equality-tested against the naive operator).
+    """
+    import ray
+    from ray.data.context import ShuffleStrategy
+
+    n_blocks = max(2, int(ray.cluster_resources().get("CPU", 4)))
+    n_blocks2 = max(2, n_blocks // 4)
+    sch = ds.schema()  # ray.data Schema: parallel names/types lists
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ep = pc.cast(b[ts_col].combine_chunks(), pa.int64()).to_numpy()  # µs
+        return b.append_column("_bucket", pa.array(ep // (bucket_s * 1_000_000)))
+
+    def local_lag_lead(b: pa.Table) -> pa.Table:
+        cols = {
+            id_col: pa.array([], id_type),
+            user_col: pa.array([], b.schema.field(user_col).type),
+            "prev_id": pa.array([], id_type),
+            "next_id": pa.array([], id_type),
+            "_ts": pa.array([], pa.int64()),
+            "_edge": pa.array([], pa.int8()),
+        }
+        if b.num_rows == 0:
+            return pa.table(cols)
+        t = b.take(
+            pc.sort_indices(
+                b,
+                sort_keys=[
+                    (user_col, "ascending"),
+                    ("_bucket", "ascending"),
+                    (ts_col, "ascending"),
+                    (id_col, "ascending"),
+                ],
+            )
+        )
+        n = t.num_rows
+        un = t[user_col].combine_chunks().to_numpy(zero_copy_only=False)
+        bk = t["_bucket"].combine_chunks().to_numpy()
+        ids = t[id_col].combine_chunks()
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        ts = pc.cast(t[ts_col].combine_chunks(), pa.int64()).to_numpy()
+        new_grp = np.ones(n, dtype=bool)
+        new_grp[1:] = (un[1:] != un[:-1]) | (bk[1:] != bk[:-1])
+        is_first = new_grp
+        is_last = np.append(new_grp[1:], True)
+        prev_np = np.empty(n, dtype=object)
+        prev_np[1:] = ids_np[:-1]
+        prev_np[is_first] = None
+        next_np = np.empty(n, dtype=object)
+        next_np[:-1] = ids_np[1:]
+        next_np[is_last] = None
+        # _edge bit flags: 1 = bucket-first (lag needs fixing), 2 =
+        # bucket-last (lead needs fixing); 0 = interior (already exact)
+        edge = (is_first.astype(np.int8)) | (is_last.astype(np.int8) << 1)
+        return pa.table(
+            {
+                id_col: ids,
+                user_col: t[user_col].combine_chunks(),
+                "prev_id": pa.array(prev_np, id_type),
+                "next_id": pa.array(next_np, id_type),
+                "_ts": pa.array(ts),
+                "_edge": pa.array(edge),
+            }
+        )
+
+    def fix_edges(b: pa.Table) -> pa.Table:
+        out_cols = [id_col, user_col, "prev_id", "next_id"]
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], id_type),
+                    user_col: pa.array([], b.schema.field(user_col).type),
+                    "prev_id": pa.array([], id_type),
+                    "next_id": pa.array([], id_type),
+                }
+            )
+        t = b.take(
+            pc.sort_indices(
+                b,
+                sort_keys=[
+                    (user_col, "ascending"),
+                    ("_ts", "ascending"),
+                    (id_col, "ascending"),
+                ],
+            )
+        )
+        n = t.num_rows
+        un = t[user_col].combine_chunks().to_numpy(zero_copy_only=False)
+        ids_np = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        edge = t["_edge"].combine_chunks().to_numpy()
+        # to_pylist, not to_numpy: Arrow nullable ints coerce to float64/NaN
+        # under to_numpy, silently corrupting large ids
+        prev_np = np.array(t["prev_id"].to_pylist(), dtype=object)
+        next_np = np.array(t["next_id"].to_pylist(), dtype=object)
+        same_prev = np.zeros(n, dtype=bool)
+        same_prev[1:] = un[1:] == un[:-1]
+        same_next = np.append(same_prev[1:], False)
+        # the edge stream per (user, bucket) is [first, last] (one row when
+        # the bucket is a singleton, flagged both): a first row's stream
+        # predecessor is the previous present bucket's last event
+        need_prev = (edge & 1).astype(bool)
+        fix = need_prev & same_prev
+        prev_np[fix] = ids_np[np.flatnonzero(fix) - 1]
+        prev_np[need_prev & ~same_prev] = None
+        need_next = (edge & 2).astype(bool)
+        fix = need_next & same_next
+        next_np[fix] = ids_np[np.flatnonzero(fix) + 1]
+        next_np[need_next & ~same_next] = None
+        return pa.table(
+            {
+                id_col: t[id_col].combine_chunks(),
+                user_col: t[user_col].combine_chunks(),
+                "prev_id": pa.array(prev_np, id_type),
+                "next_id": pa.array(next_np, id_type),
+            }
+        ).select(out_cols)
+
+    prev_strategy = ds.context.shuffle_strategy
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    try:
+        tagged = (
+            ds.select_columns([user_col, ts_col, id_col])
+            .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+            .repartition(num_blocks=n_blocks, keys=[user_col, "_bucket"])
+            .map_batches(
+                local_lag_lead, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        interior = tagged.filter(expr="_edge == 0").drop_columns(
+            ["_ts", "_edge"]
+        )
+        edges = (
+            tagged.filter(expr="_edge > 0")
+            .repartition(num_blocks=n_blocks2, keys=[user_col])
+            .map_batches(fix_edges, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        return interior.union(edges).materialize()
+    finally:
+        ds.context.shuffle_strategy = prev_strategy
+
+
 def sessionize_bucketed(
     ds,
     *,

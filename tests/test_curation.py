@@ -199,3 +199,67 @@ def test_sample_by_rates_deterministic_and_thresholded(ray_session):
     }
     assert set(kept[kept["source"] == "g1"]["doc_id"]) == expect_g1
     assert 0 < len(expect_g1) < 100  # the threshold actually splits
+
+
+def test_tfidf_join_fallback_matches_broadcast(ray_session):
+    import ray
+    from logparser_ray.stages.curation import tfidf_topk
+
+    docs = [f"w{i % 7} w{(i + 1) % 7} shared token{i % 3}" for i in range(40)]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(40)), "text": docs})
+    )
+    a = (
+        tfidf_topk(ds, k=2, n_docs=40)
+        .to_pandas()
+        .sort_values(["doc_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    ds2 = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(40)), "text": docs})
+    )
+    b = (
+        tfidf_topk(ds2, k=2, n_docs=40, broadcast_max_bytes=0)  # force join
+        .to_pandas()
+        .sort_values(["doc_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    pd_cols = ["doc_id", "term", "tf", "df", "score_bp", "rnk"]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a[pd_cols], b[pd_cols])
+
+
+def test_pack_sequences_hand_computed_and_block_independent(ray_session):
+    import ray
+    from logparser_ray.stages.pack import pack_sequences
+
+    # token counts 4,3,5,2,6 with budget 8 → exclusive prefixes
+    # 0,4,7,12,14 → bins 0,0,0,1,1
+    texts = ["a b c d", "a b c", "a b c d e", "a b", "a b c d e f"]
+    want_bins = [0, 0, 0, 1, 1]
+    for blocks in (1, 3, 5):
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+        ).repartition(blocks)
+        out = (
+            pack_sequences(ds, budget=8)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["n_tok"].tolist() == [4, 3, 5, 2, 6]
+        assert out["seq_id"].tolist() == want_bins, f"blocks={blocks}"
+
+
+def test_pack_sequences_rejects_interleaved_ids(ray_session):
+    import pytest
+    import ray
+    from logparser_ray.stages.pack import pack_sequences
+
+    # two blocks with overlapping id ranges — the scan must refuse
+    b1 = pa.table({"doc_id": [0, 2], "text": ["a", "b"]})
+    b2 = pa.table({"doc_id": [1, 3], "text": ["c", "d"]})
+    ds = ray.data.from_arrow([b1, b2])
+    with pytest.raises(ValueError, match="disjoint"):
+        pack_sequences(ds, budget=8).materialize()

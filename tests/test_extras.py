@@ -622,3 +622,50 @@ def test_binned_quantiles_rank_semantics(ray_session):
         assert row["n_total"] == len(vals)  # nulls excluded
         exact = srt[math.ceil(q * len(vals)) - 1]  # rank-ceil(q·n) element
         assert row["bin"] == int(np.floor(exact / 10.0)), q
+
+
+def test_lag_lead_bucketed_equals_naive(ray_session):
+    """lag_lead_bucketed must equal the single-partition window scan for
+    hot keys, cross-bucket adjacency, singleton buckets, and ts ties."""
+    import ray
+
+    from logparser_ray.stages.windows import lag_lead_bucketed
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    user = rng.integers(0, 5, n)
+    user[:1500] = 0  # hot user: half of all events
+    ts_us = rng.integers(0, 10 * 86_400 * 1_000_000, n)
+    ts_us[:50] = 123_456  # ts ties → id tiebreak must decide order
+    # singleton bucket: user 4 gets one isolated far-future event
+    user[n - 1], ts_us[n - 1] = 4, 400 * 86_400 * 1_000_000
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(user.astype(np.int64)),
+            "ts": pa.array(ts_us.astype(np.int64)),
+        }
+    )
+    out = (
+        lag_lead_bucketed(
+            ray.data.from_arrow(tbl), bucket_s=3600  # many boundaries
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    naive = (
+        tbl.to_pandas()
+        .sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        .assign(
+            prev_id=lambda d: d.groupby("user_id")["event_id"].shift(1),
+            next_id=lambda d: d.groupby("user_id")["event_id"].shift(-1),
+        )
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == n
+    for c in ("prev_id", "next_id"):
+        got = out[c].astype("float64")  # None → NaN for comparison
+        want = naive[c].astype("float64")
+        pd.testing.assert_series_equal(got, want, check_names=False)
