@@ -177,6 +177,10 @@ def lag_lead_bucketed(
             .map_batches(
                 local_lag_lead, batch_format="pyarrow", zero_copy_batch=True
             )
+            # the plan forks here (interior rows vs edge rows): pin the
+            # post-exchange result once, else BOTH branches re-execute the
+            # corpus-wide exchange — the double-execution trap
+            .materialize()
         )
         interior = tagged.filter(expr="_edge == 0").drop_columns(
             ["_ts", "_edge"]
