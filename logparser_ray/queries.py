@@ -908,18 +908,46 @@ def q_embeddings_lsh_knn(sf_dir: str):
     return lsh_bucketed_topk(ds, _query_vec(sf_dir), k=5)
 
 
+def q_embeddings_rp_knn(sf_dir: str):
+    """Reduced-dimension ANN: JL random projection to 16 dims (seeded,
+    regenerated per worker — nothing shipped), then brute-force cosine
+    top-k in the cheap space. The composed reduce→search pipeline a 100 TB
+    corpus runs when full-dim scoring is too expensive."""
+    from logparser_ray.stages.similarity import (
+        _rp_matrix,
+        brute_force_topk,
+        random_projection,
+    )
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = _query_vec(sf_dir)
+    red = random_projection(ds, out_dim=16, out_col="embedding")
+    q_red = np.asarray(q, dtype=np.float64) @ _rp_matrix(23, len(q), 16)
+    return brute_force_topk(red, q_red, k=5)
+
+
 def q_embeddings_ann_approx(sf_dir: str):
-    """Tagged union of the three APPROXIMATE ANN paths (recall<1 by
-    construction → rows-only): LSH-bucketed top-k, IVF top-k, LSH-bucketed
-    near-dup pairs. One driver-audited entry covering all three (their
-    exactness properties — subset-of-brute-force, identical cosines — are
+    """Tagged union of the four APPROXIMATE ANN paths (recall<1 / lossy
+    by construction → rows-only): LSH-bucketed top-k, IVF top-k,
+    LSH-bucketed near-dup pairs, and JL-projected top-k. One
+    driver-audited entry covering all four (their exactness properties —
+    subset-of-brute-force, identical cosines, JL distortion bounds — are
     pinned by pytest)."""
     import pandas as pd
 
     lsh = q_embeddings_lsh_knn(sf_dir)
     ivf = q_embeddings_ivf_knn(sf_dir)
     nd = q_embeddings_near_dupes_lsh(sf_dir)
+    rp = q_embeddings_rp_knn(sf_dir)
     parts = [
+        pd.DataFrame(
+            {
+                "method": "rp_knn",
+                "a": rp["query_idx"].astype("int64"),
+                "b": rp["vec_id"].astype("int64"),
+                "val": np.floor(rp["cos"] * 10_000 + 0.5).astype("int64"),
+            }
+        ),
         pd.DataFrame(
             {
                 "method": "lsh_knn",

@@ -37,6 +37,64 @@ def _emb_matrix(col) -> np.ndarray:
     return np.asarray(arr.to_numpy(zero_copy_only=False).tolist(), dtype=np.float64)
 
 
+# per-worker cache of seeded JL projection matrices (module-level, same
+# discipline as the parse-state cache in stages/parse.py): generating from
+# the seed is deterministic, so workers never ship the matrix — they just
+# avoid regenerating it per batch
+_RP_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def _rp_matrix(seed: int, dim: int, out_dim: int) -> np.ndarray:
+    key = (seed, dim, out_dim)
+    if key not in _RP_CACHE:
+        rng = np.random.default_rng(seed)
+        _RP_CACHE[key] = rng.standard_normal((dim, out_dim)) / np.sqrt(out_dim)
+    return _RP_CACHE[key]
+
+
+def random_projection(
+    ds,
+    *,
+    out_dim: int,
+    dim: int | None = None,
+    seed: int = 23,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    out_col: str = "embedding_rp",
+    normalize: bool = True,
+):
+    """Johnson–Lindenstrauss random projection of an embedding column to
+    ``out_dim`` dimensions (Gaussian projection matrix / sqrt(out_dim),
+    seeded — every worker regenerates the IDENTICAL matrix from the seed,
+    so nothing is shipped at all). One vectorized matmul per batch, zero
+    shuffle, streaming; pairwise distances are preserved within the JL
+    distortion bound, which is what downstream ANN/near-dup stages need
+    from a cheaper vector.
+
+    ``dim`` (input dimensionality) is read from the first batch when not
+    given. Returns ``(id_col, out_col)`` with ``out_col`` a
+    ``list<float64>`` of length ``out_dim`` (L2-normalized when
+    ``normalize``, so cosine downstream works unchanged).
+    """
+    if dim is None:
+        first = ds.limit(1).take_batch(1, batch_format="pyarrow")
+        dim = _emb_matrix(first[emb_col]).shape[1]
+
+    def project(batch: pa.Table) -> pa.Table:
+        proj = _rp_matrix(seed, dim, out_dim)  # per-worker cache
+        emb = _emb_matrix(batch[emb_col])
+        red = emb @ proj
+        if normalize:
+            red = _normalize(red)
+        flat = pa.array(red.reshape(-1), pa.float64())
+        lists = pa.FixedSizeListArray.from_arrays(flat, out_dim)
+        return pa.table({id_col: batch[id_col], out_col: lists})
+
+    return ds.select_columns([id_col, emb_col]).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 class BatchTopK:
     """map_batches actor: per-batch cosine vs broadcast query matrix → local top-k."""
 

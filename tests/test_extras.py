@@ -669,3 +669,65 @@ def test_lag_lead_bucketed_equals_naive(ray_session):
         got = out[c].astype("float64")  # None → NaN for comparison
         want = naive[c].astype("float64")
         pd.testing.assert_series_equal(got, want, check_names=False)
+
+
+def test_random_projection_jl_properties(ray_session):
+    """Seeded JL projection: deterministic across runs/block structure,
+    right shape, and pairwise cosine distortion bounded on a real sample."""
+    import ray
+
+    from logparser_ray.stages.similarity import _emb_matrix, random_projection
+
+    rng = np.random.default_rng(3)
+    n, dim, out_dim = 200, 64, 24
+    emb = rng.standard_normal((n, dim))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(emb.reshape(-1), pa.float64()), dim
+            ),
+        }
+    )
+    outs = []
+    for blocks in (2, 7):
+        ds = ray.data.from_arrow(tbl).repartition(blocks)
+        out = (
+            random_projection(ds, out_dim=out_dim)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        assert len(out) == n and len(out["embedding_rp"][0]) == out_dim
+        outs.append(np.asarray(out["embedding_rp"].tolist()))
+    # block-independent up to BLAS kernel ULPs (dot-product summation order
+    # varies with matrix shape, so bit-equality across batch sizes is not a
+    # matmul guarantee)
+    np.testing.assert_allclose(outs[0], outs[1], rtol=0, atol=1e-12)
+
+    a = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    r = outs[0]
+    cos_hi = a @ a.T
+    cos_lo = r @ r.T
+    pairs = np.triu_indices(n, k=1)
+    # JL at out_dim=24 adds ~1/sqrt(out_dim) cosine noise — bound the mean
+    assert np.abs(cos_hi[pairs] - cos_lo[pairs]).mean() < 1.5 / np.sqrt(24)
+    # the property dedup needs: planted near-identical pairs STAY similar
+    twin = emb[:10] + 0.05 * rng.standard_normal((10, dim))
+    tbl2 = pa.table(
+        {
+            "vec_id": pa.array(np.arange(10, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(twin.reshape(-1), pa.float64()), dim
+            ),
+        }
+    )
+    tds = ray.data.from_arrow(tbl2)
+    tp = (
+        random_projection(tds, out_dim=out_dim)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    tr = np.asarray(tp["embedding_rp"].tolist())
+    twin_cos = (r[:10] * tr).sum(axis=1)
+    assert (twin_cos > 0.85).all()
