@@ -61,10 +61,10 @@ def pii_redact_batch(
     """
     red = batch[text_col].combine_chunks()
     for name, pat, repl in PII_RULES:
-        batch = batch.append_column(
-            f"n_{name}",
-            pa.array(np.asarray(pc.count_substring_regex(red, pat), dtype=np.int64)),
-        )
+        counts = pc.cast(
+            pc.count_substring_regex(red, pat).fill_null(0), pa.int64()
+        )  # null text → 0 matches (and stays null in out_col)
+        batch = batch.append_column(f"n_{name}", counts)
         red = pc.replace_substring_regex(red, pat, repl)
     return batch.append_column(out_col, red)
 

@@ -83,7 +83,9 @@ def pack_sequences(
     # disjointness, raising only for genuinely interleaved ids.
     order = sorted(
         range(len(metas)),
-        key=lambda i: (metas[i][0] is None, metas[i][0]),
+        # empty blocks (lo is None) sort last; 0 stand-in keeps the key
+        # comparable when several blocks are empty
+        key=lambda i: (metas[i][0] is None, metas[i][0] or 0),
     )
     prev_max = None
     offsets = [0] * len(metas)
