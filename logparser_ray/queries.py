@@ -1011,16 +1011,30 @@ def q_docs_fingerprints(sf_dir: str):
 
 
 def q_docs_textstats_extras(sf_dir: str):
-    """Tagged union of the two rows-only textstat audits (langid confusion
-    counts + rolling-hash fingerprint clusters) — one driver-audited entry
-    so both stay inside the 50-entry cap while ``docs_stratified_sample``
-    takes a full SQL-oracled slot. Per-kernel semantics are pinned by
-    tests/test_extras.py::test_textstats_vectorized_kernels."""
+    """Tagged union of the rows-only textstat audits (langid confusion
+    counts, rolling-hash fingerprint clusters, unigram cross-entropy
+    quality scores) — one driver-audited entry so all stay inside the
+    50-entry cap. Per-kernel semantics are pinned by
+    tests/test_extras.py (vectorized kernels + xent hand-check)."""
     import pandas as pd
+
+    from logparser_ray.stages.textstats import unigram_xent
 
     li = q_docs_langid(sf_dir).to_pandas()
     fp = q_docs_fingerprints(sf_dir).to_pandas()
+    xe = (
+        unigram_xent(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+        .to_pandas()
+    )
     parts = [
+        pd.DataFrame(
+            {
+                "part": "xent",
+                "a": xe["doc_id"].astype(str),
+                "b": "",
+                "n": xe["xent_bp"].astype("int64"),
+            }
+        ),
         pd.DataFrame(
             {
                 "part": "langid",

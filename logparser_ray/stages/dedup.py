@@ -613,3 +613,106 @@ def simhash_near_dupes(
     return (
         out.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
     )
+
+
+def dedup_against_prior(
+    ds,
+    prior,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prior_max_bytes: int = 64 << 20,
+):
+    """Incremental exact dedup: keep only rows of ``ds`` whose content
+    hash is NOT present in ``prior`` (a previously-ingested snapshot) —
+    the continuous-ingestion shape where each new batch of crawl data
+    dedups against the existing corpus without reprocessing it.
+
+    Both sides reduce to the same 128-bit keyed content hash as
+    ``exact_dedup_representatives``. The prior side ships only hashes
+    (~16 B/doc): broadcast via ``ray.put`` + ``pc.is_in`` per batch when
+    it fits ``prior_max_bytes``, else a distributed ANTI join (left join
+    on hash, keep misses) — same semantics, no per-worker copy. Within
+    ``ds`` itself, first-per-hash wins (min id), so the result is also
+    internally deduped.
+    """
+
+    def hashes(b: pa.Table, keep_cols: bool) -> pa.Table:
+        texts = b[text_col].combine_chunks().to_numpy(zero_copy_only=False)
+        h1 = pd.util.hash_array(texts, hash_key="rayparse-dedup-1").view(np.int64)
+        h2 = pd.util.hash_array(texts, hash_key="rayparse-dedup-2").view(np.int64)
+        t = pa.table({"_h1": pa.array(h1), "_h2": pa.array(h2)})
+        if keep_cols:
+            for c in b.column_names:
+                t = t.append_column(c, b[c])
+        return t
+
+    prior_h = (
+        prior.select_columns([text_col])
+        .map_batches(
+            lambda b: hashes(b, False).group_by(["_h1", "_h2"]).aggregate([]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()  # consumed twice below (size probe + broadcast/join)
+    )
+    new_h = ds.map_batches(
+        lambda b: hashes(b, True), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    if prior_h.size_bytes() <= prior_max_bytes:
+        tbl = pa.concat_tables(
+            [t for t in ray.get(prior_h.to_arrow_refs()) if t.num_rows]
+        )
+        # single 128-bit membership array: combine the two 64-bit halves
+        # into a Python-int set? No — keep vectorized: test h1 membership
+        # first (cheap prefilter), then confirm (h1, h2) pairs.
+        seen = ray.put(tbl)
+
+        def keep_new(b: pa.Table) -> pa.Table:
+            p = ray.get(seen)
+            # vectorized 2-column membership: a row collides iff its
+            # (h1, h2) pair appears in the prior — compare via a combined
+            # mix (h1 * P ^ h2), collision odds 2^-64 on top of matching h1
+            mix_b = (
+                b["_h1"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15)
+                ^ b["_h2"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            )
+            mix_p = (
+                p["_h1"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15)
+                ^ p["_h2"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            )
+            fresh = ~np.isin(mix_b, mix_p)
+            return b.filter(pa.array(fresh)).drop_columns(["_h1", "_h2"])
+
+        filtered = new_h.map_batches(
+            keep_new, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        marked = prior_h.map_batches(
+            lambda b: b.append_column(
+                "_seen", pa.array(np.ones(len(b), np.int8))
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        from logparser_ray.stages.joins import join_num_partitions
+
+        j = new_h.join(
+            marked,
+            "left_outer",
+            num_partitions=join_num_partitions(),
+            on=("_h1", "_h2"),
+        )
+        filtered = j.map_batches(
+            lambda b: b.filter(pc.is_null(b["_seen"])).drop_columns(
+                ["_h1", "_h2", "_seen"]
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    # internal first-per-hash dedup of the survivors (min id wins) — reuse
+    # the existing representative aggregation on the already-filtered rows
+    return exact_dedup_representatives(filtered, id_col=id_col, text_col=text_col)

@@ -158,3 +158,75 @@ def add_textstats(ds, text_col: str = "text", which: str = "quality"):
     return ds.map_batches(
         lambda b: fn(b, text_col), batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def unigram_xent(ds, *, id_col: str = "doc_id", text_col: str = "text", scale: int = 10_000):
+    """Per-document unigram cross-entropy against the CORPUS unigram
+    distribution — the classic cheap perplexity proxy for quality scoring
+    (documents whose token mix diverges from the corpus read as noise).
+
+    ``xent = -(1/n_tok) Σ ln p(tok)`` with ``p`` from one vocab-sized
+    ``groupby(token)`` count (the only shuffle); the log-prob table is
+    materialized once, broadcast via ``ray.put``, and each batch does a
+    vectorized ``index_in`` + ``take`` + segment-mean — the same
+    broadcast-dictionary shape as every other small-side lookup here.
+    Returned as ``xent_bp`` = floor(xent·scale + 0.5) int64 so downstream
+    thresholds are engine-exact.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        flat = _tokens(b[text_col].combine_chunks()).flatten()
+        t = pa.table({"tok": flat})
+        return (
+            t.group_by(["tok"]).aggregate([([], "count_all")])
+            .rename_columns(["tok", "n"])
+        )
+
+    vocab = (
+        ds.select_columns([text_col])
+        .map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()  # vocab-sized; consumed once but pinned for clarity
+    )
+    parts = [t for t in ray.get(vocab.to_arrow_refs()) if t.num_rows]
+    tbl = pa.concat_tables(parts) if parts else pa.table(
+        {"tok": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+    )
+    n_arr = tbl["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    total = n_arr.sum()
+    logp = np.log(n_arr / total) if total else n_arr
+    ref = ray.put((tbl["tok"].combine_chunks(), logp))
+
+    def score(b: pa.Table) -> pa.Table:
+        toks_list, lp = ray.get(ref)
+        toks = _tokens(b[text_col].combine_chunks())
+        offsets = np.asarray(toks.offsets, dtype=np.int64)
+        flat = toks.flatten()
+        idx = pc.index_in(flat, value_set=toks_list).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)  # nulls (unseen tokens) → NaN uniformly
+        # every token exists in the corpus vocab by construction; guard
+        # anyway (e.g. scoring a DIFFERENT corpus against this model):
+        # unseen tokens take the rarest-token log-prob
+        floor_lp = lp.min() if len(lp) else 0.0
+        tok_lp = np.where(np.isnan(idx), floor_lp, lp[np.nan_to_num(idx).astype(np.int64)])
+        sums = _per_list_sum_f(tok_lp, offsets)
+        n_tok = np.maximum(offsets[1:] - offsets[:-1], 1)
+        xent = -(sums / n_tok)
+        bp = np.floor(xent * scale + 0.5).astype(np.int64)
+        return pa.table({id_col: b[id_col], "xent_bp": pa.array(bp)})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _per_list_sum_f(vals: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Float variant of _per_list_sum (no int cast)."""
+    if len(offsets) <= 1:
+        return np.zeros(0, dtype=np.float64)
+    cums = np.concatenate([[0.0], np.cumsum(vals)])
+    return cums[offsets[1:]] - cums[offsets[:-1]]

@@ -731,3 +731,63 @@ def test_random_projection_jl_properties(ray_session):
     tr = np.asarray(tp["embedding_rp"].tolist())
     twin_cos = (r[:10] * tr).sum(axis=1)
     assert (twin_cos > 0.85).all()
+
+
+def test_dedup_against_prior_broadcast_and_join(ray_session):
+    import ray
+
+    from logparser_ray.stages.dedup import dedup_against_prior
+
+    prior_texts = [f"old doc {i}" for i in range(50)]
+    new_texts = (
+        [f"old doc {i}" for i in range(0, 20)]  # 20 already ingested
+        + [f"new doc {i}" for i in range(30)]  # 30 fresh
+        + ["new doc 0", "new doc 1"]  # internal dups of fresh docs
+    )
+    prior = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(prior_texts)]
+    )
+    new = ray.data.from_items(
+        [{"doc_id": 100 + i, "text": t} for i, t in enumerate(new_texts)]
+    )
+    for max_bytes in (64 << 20, 0):  # broadcast path, then anti-join path
+        out = (
+            dedup_against_prior(new, prior, prior_max_bytes=max_bytes)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # 30 fresh texts survive; already-ingested and internal dups drop
+        assert len(out) == 30, max_bytes
+        assert out["doc_id"].min() == 120  # first fresh doc
+        assert out["n_copies"].sum() == 32  # 30 + the 2 internal dups
+
+
+def test_unigram_xent_hand_computed(ray_session):
+    import ray
+
+    from logparser_ray.stages.textstats import unigram_xent
+
+    # corpus: 4 'a', 2 'b', 2 'c' → p(a)=.5, p(b)=.25, p(c)=.25
+    docs = ["a a b", "a a c", "b c"]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": [0, 1, 2], "text": docs})
+    )
+    out = (
+        unigram_xent(ds)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    import math
+
+    def bp(*ps):
+        return int(np.floor(-(sum(math.log(p) for p in ps) / len(ps)) * 10_000 + 0.5))
+
+    assert out["xent_bp"].tolist() == [
+        bp(0.5, 0.5, 0.25),
+        bp(0.5, 0.5, 0.25),
+        bp(0.25, 0.25),
+    ]
+    # rarer-token docs score HIGHER xent (lower quality signal)
+    assert out["xent_bp"][2] > out["xent_bp"][0]
