@@ -914,16 +914,15 @@ def q_embeddings_rp_knn(sf_dir: str):
     top-k in the cheap space. The composed reduce→search pipeline a 100 TB
     corpus runs when full-dim scoring is too expensive."""
     from logparser_ray.stages.similarity import (
-        _rp_matrix,
         brute_force_topk,
+        project_query,
         random_projection,
     )
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     q = _query_vec(sf_dir)
     red = random_projection(ds, out_dim=16, out_col="embedding")
-    q_red = np.asarray(q, dtype=np.float64) @ _rp_matrix(23, len(q), 16)
-    return brute_force_topk(red, q_red, k=5)
+    return brute_force_topk(red, project_query(q, 16), k=5)
 
 
 def q_embeddings_ann_approx(sf_dir: str):

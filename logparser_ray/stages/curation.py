@@ -162,8 +162,9 @@ def curation_stats_batch(
     )
     n_stop = _per_list_sum(is_stop, offsets)
     n_symbol = np.asarray(
-        pc.count_substring_regex(texts, r"[^A-Za-z0-9 ]"), dtype=np.int64
-    )
+        pc.count_substring_regex(texts, r"[^A-Za-z0-9 ]").fill_null(0),
+        dtype=np.int64,
+    )  # null text → 0, not an int64-min NaN cast
 
     out = batch.append_column("n_words", pa.array(n_words))
     out = out.append_column("n_distinct", pa.array(n_distinct))
@@ -373,10 +374,9 @@ def tfidf_topk(
         # broadcast path: one map_batches does lookup + score + EXACT
         # per-doc top-k (tf_batch emits each doc's terms inside one batch,
         # so no cross-batch finalize is needed — zero extra exchanges)
-        tbl = pa.concat_tables(
-            [t for t in ray.get(df_mat.to_arrow_refs()) if t.num_rows]
-        )
-        ref = ray.put(tbl)
+        from logparser_ray.stages.joins import collect_dim_table
+
+        ref = ray.put(collect_dim_table(df_mat))
 
         def lookup_score(b: pa.Table) -> pa.Table:
             d = ray.get(ref)

@@ -661,31 +661,39 @@ def dedup_against_prior(
     )
 
     if prior_h.size_bytes() <= prior_max_bytes:
-        tbl = pa.concat_tables(
-            [t for t in ray.get(prior_h.to_arrow_refs()) if t.num_rows]
-        )
-        # single 128-bit membership array: combine the two 64-bit halves
-        # into a Python-int set? No — keep vectorized: test h1 membership
-        # first (cheap prefilter), then confirm (h1, h2) pairs.
-        seen = ray.put(tbl)
+        from logparser_ray.stages.joins import collect_dim_table
+
+        tbl = collect_dim_table(prior_h)  # empty-prior-safe (bootstrap run)
+        # premix the prior's two 64-bit halves into ONE uint64 key on the
+        # driver — done once, halves the broadcast bytes, and avoids every
+        # batch re-mixing the whole prior (collision odds 2^-64 on top of
+        # matching h1)
+        _MIX = np.uint64(0x9E3779B97F4A7C15)
+        if tbl.num_rows:
+            mix_p = (
+                tbl["_h1"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                * _MIX
+                ^ tbl["_h2"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            )
+        else:  # bootstrap: nothing ingested yet, everything is fresh
+            mix_p = np.empty(0, np.uint64)
+        seen = ray.put(np.sort(mix_p))
 
         def keep_new(b: pa.Table) -> pa.Table:
-            p = ray.get(seen)
-            # vectorized 2-column membership: a row collides iff its
-            # (h1, h2) pair appears in the prior — compare via a combined
-            # mix (h1 * P ^ h2), collision odds 2^-64 on top of matching h1
+            p_sorted = ray.get(seen)
             mix_b = (
                 b["_h1"].to_numpy(zero_copy_only=False).astype(np.uint64)
                 * np.uint64(0x9E3779B97F4A7C15)
                 ^ b["_h2"].to_numpy(zero_copy_only=False).astype(np.uint64)
             )
-            mix_p = (
-                p["_h1"].to_numpy(zero_copy_only=False).astype(np.uint64)
-                * np.uint64(0x9E3779B97F4A7C15)
-                ^ p["_h2"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            # sorted membership: np.isin would re-sort the prior per batch
+            pos = np.searchsorted(p_sorted, mix_b)
+            pos = np.clip(pos, 0, max(len(p_sorted) - 1, 0))
+            hit = (
+                (p_sorted[pos] == mix_b) if len(p_sorted) else
+                np.zeros(len(mix_b), dtype=bool)
             )
-            fresh = ~np.isin(mix_b, mix_p)
-            return b.filter(pa.array(fresh)).drop_columns(["_h1", "_h2"])
+            return b.filter(pa.array(~hit)).drop_columns(["_h1", "_h2"])
 
         filtered = new_h.map_batches(
             keep_new, batch_format="pyarrow", zero_copy_batch=True

@@ -46,6 +46,23 @@ def join_num_partitions(n_rows: int | None = None) -> int:
     return max(base, min(512, n_rows // 1_000_000 + 2))
 
 
+def collect_dim_table(ds) -> pa.Table:
+    """Collect a (dimension-sized) Dataset into ONE Arrow table for
+    broadcast. Drops empty blocks — hash-aggregated dims emit zero-column
+    empty blocks that ``concat_tables`` rejects — and returns a
+    schema-typed empty table when every block is empty, so callers never
+    crash on an empty dim/vocab/prior."""
+    import ray
+
+    parts = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows > 0]
+    if parts:
+        return pa.concat_tables(parts)
+    sch = ds.schema(fetch_if_missing=False)
+    if sch is None:  # fully-empty lineage can lose its schema entirely
+        return pa.table({})
+    return pa.table({n: pa.array([], t) for n, t in zip(sch.names, sch.types)})
+
+
 def attach_dim(
     fact,
     dim,
@@ -97,17 +114,7 @@ def attach_dim(
         # the same schema: fact columns + dim_cols
         return joined
 
-    parts = [ray.get(r) for r in proj.to_arrow_refs()]
-    # hash-aggregated dims can emit empty blocks with a EMPTY (zero-column)
-    # schema — concat_tables rejects the mismatch, so drop them first
-    nonempty = [t for t in parts if t.num_rows > 0]
-    if nonempty:
-        tbl = pa.concat_tables(nonempty)
-    else:
-        sch = proj.schema()
-        tbl = pa.table(
-            {n: pa.array([], t) for n, t in zip(sch.names, sch.types)}
-        )
+    tbl = collect_dim_table(proj)
     ref = ray.put(tbl)
 
     def lookup(b: pa.Table) -> pa.Table:

@@ -43,6 +43,18 @@ def _emb_matrix(col) -> np.ndarray:
 # avoid regenerating it per batch
 _RP_CACHE: dict[tuple, np.ndarray] = {}
 
+RP_DEFAULT_SEED = 23  # shared by random_projection and project_query
+
+
+def project_query(
+    q: np.ndarray, out_dim: int, seed: int = RP_DEFAULT_SEED
+) -> np.ndarray:
+    """Project a query vector with the SAME seeded matrix
+    ``random_projection`` applies to the corpus — the public pairing
+    helper, so callers never duplicate the seed or reach into the cache."""
+    q = np.asarray(q, dtype=np.float64)
+    return q @ _rp_matrix(seed, len(q), out_dim)
+
 
 def _rp_matrix(seed: int, dim: int, out_dim: int) -> np.ndarray:
     key = (seed, dim, out_dim)
@@ -57,7 +69,7 @@ def random_projection(
     *,
     out_dim: int,
     dim: int | None = None,
-    seed: int = 23,
+    seed: int = RP_DEFAULT_SEED,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     out_col: str = "embedding_rp",

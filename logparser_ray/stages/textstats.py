@@ -191,10 +191,9 @@ def unigram_xent(ds, *, id_col: str = "doc_id", text_col: str = "text", scale: i
         .aggregate(Sum("n", alias_name="n"))
         .materialize()  # vocab-sized; consumed once but pinned for clarity
     )
-    parts = [t for t in ray.get(vocab.to_arrow_refs()) if t.num_rows]
-    tbl = pa.concat_tables(parts) if parts else pa.table(
-        {"tok": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
-    )
+    from logparser_ray.stages.joins import collect_dim_table
+
+    tbl = collect_dim_table(vocab)
     n_arr = tbl["n"].to_numpy(zero_copy_only=False).astype(np.float64)
     total = n_arr.sum()
     logp = np.log(n_arr / total) if total else n_arr
@@ -213,7 +212,21 @@ def unigram_xent(ds, *, id_col: str = "doc_id", text_col: str = "text", scale: i
         # unseen tokens take the rarest-token log-prob
         floor_lp = lp.min() if len(lp) else 0.0
         tok_lp = np.where(np.isnan(idx), floor_lp, lp[np.nan_to_num(idx).astype(np.int64)])
-        sums = _per_list_sum_f(tok_lp, offsets)
+        # per-doc DIRECT sums (reduceat), not cumsum prefix-differences: a
+        # whole-batch cumsum makes a doc's float sum depend on the docs
+        # before it, so the floored basis-point score could flip by 1 with
+        # block layout — breaking the engine-exact integer contract
+        n_flat = len(tok_lp)
+        starts = offsets[:-1]
+        valid = starts < n_flat
+        sums = np.zeros(len(starts), dtype=np.float64)
+        if n_flat and valid.any():
+            red = np.add.reduceat(tok_lp, starts[valid])
+            # reduceat wraps when consecutive starts are equal (empty docs):
+            # zero those out explicitly
+            lens = (offsets[1:] - starts)[valid]
+            red[lens == 0] = 0.0
+            sums[valid] = red
         n_tok = np.maximum(offsets[1:] - offsets[:-1], 1)
         xent = -(sums / n_tok)
         bp = np.floor(xent * scale + 0.5).astype(np.int64)
@@ -222,11 +235,3 @@ def unigram_xent(ds, *, id_col: str = "doc_id", text_col: str = "text", scale: i
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     )
-
-
-def _per_list_sum_f(vals: np.ndarray, offsets: np.ndarray) -> np.ndarray:
-    """Float variant of _per_list_sum (no int cast)."""
-    if len(offsets) <= 1:
-        return np.zeros(0, dtype=np.float64)
-    cums = np.concatenate([[0.0], np.cumsum(vals)])
-    return cums[offsets[1:]] - cums[offsets[:-1]]

@@ -791,3 +791,51 @@ def test_unigram_xent_hand_computed(ray_session):
     ]
     # rarer-token docs score HIGHER xent (lower quality signal)
     assert out["xent_bp"][2] > out["xent_bp"][0]
+
+
+def test_dedup_against_prior_empty_prior_bootstrap(ray_session):
+    """First-ingestion bootstrap: an EMPTY prior must pass everything
+    through (internally deduped), not crash on concat."""
+    import ray
+
+    from logparser_ray.stages.dedup import dedup_against_prior
+
+    prior = ray.data.from_items([{"doc_id": 0, "text": "x"}]).filter(
+        expr="doc_id > 100"
+    )  # empty after filter
+    new = ray.data.from_items(
+        [{"doc_id": i, "text": f"t{i % 3}"} for i in range(6)]
+    )
+    out = dedup_against_prior(new, prior).to_pandas()
+    assert len(out) == 3
+    assert out["n_copies"].sum() == 6
+
+
+def test_curation_stats_null_text_safe():
+    from logparser_ray.stages.curation import curation_stats_batch, pii_redact_batch
+
+    batch = pa.table({"text": pa.array(["a b", None], pa.string())})
+    out = curation_stats_batch(batch)
+    assert out["n_symbol"].to_pylist() == [0, 0]  # not int64-min garbage
+    red = pii_redact_batch(batch)
+    assert red["n_email"].to_pylist() == [0, 0]
+    assert red["text_redacted"].to_pylist() == ["a b", None]
+
+
+def test_unigram_xent_block_layout_independent(ray_session):
+    """The integer xent score must not depend on batch composition."""
+    import ray
+
+    from logparser_ray.stages.textstats import unigram_xent
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [" ".join(rng.choice(vocab, size=rng.integers(3, 40))) for _ in range(300)]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(docs)]
+    outs = []
+    for blocks in (1, 13):
+        ds = ray.data.from_items(rows).repartition(blocks)
+        outs.append(
+            unigram_xent(ds).to_pandas().sort_values("doc_id")["xent_bp"].tolist()
+        )
+    assert outs[0] == outs[1]
