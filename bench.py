@@ -108,6 +108,24 @@ def run_bench() -> dict:
     assert n_read == top.n_turns, (n_read, top.n_turns)
 
     subprocess.run(["sync"])  # drain routed-write writeback before per-query timings
+
+    # warm the hash-exchange machinery ONCE: the session's first keyed
+    # repartition pays worker spawn + aggregator imports (~5 s at 32 cpus;
+    # measured 9.3 s -> 4.5 s warm for the same sessionize job, BASELINE.md).
+    # The flagship above uses fused shard tasks and never touches it, so
+    # without this the first exchange-heavy query absorbs the whole cost and
+    # round-over-round deltas are noise.
+    from ray.data.context import ShuffleStrategy
+
+    _prev = ray.data.DataContext.get_current().shuffle_strategy
+    ray.data.DataContext.get_current().shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    try:
+        ray.data.range(200_000).repartition(
+            num_blocks=NUM_CPUS, keys=["id"]
+        ).count()
+    finally:
+        ray.data.DataContext.get_current().shuffle_strategy = _prev
+
     from logparser_ray.queries import q_docs_unigram_near_dupes
 
     for name, fn in (
