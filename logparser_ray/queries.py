@@ -854,11 +854,90 @@ def q_transcripts_sink_counts(sf_dir: str):
 
 
 def q_transcripts_templates(sf_dir: str):
-    """The reference's _templates.csv aggregate over the fixture (S5)."""
+    """The reference's _templates.csv aggregate over the fixture (S5),
+    unioned with the O1 per-conversation text-hash conformance rows
+    (audit-cap discipline — freed the slot transcripts_conv_stats holds).
+    ``part='templates'``: (template_id, template, occurrences);
+    ``part='conv_hash'``: (conv_id, md5-16, n_turns)."""
+    import pandas as pd
+
     tdir, _ = fixtures.ensure_transcripts(_turns_for(sf_dir))
     ds = ray.data.read_parquet(tdir)
     out = flagship.parse_enrich(ds, with_params=False)
-    return template_occurrences(out)
+    tm = template_occurrences(out).to_pandas()
+    ch = q_transcripts_conv_text_hash(sf_dir).to_pandas()
+    parts = [
+        pd.DataFrame(
+            {
+                "part": "templates",
+                "a": tm["template_id"].astype(str),
+                "b": tm["template"].astype(str),
+                "n": tm["occurrences"].astype("int64"),
+            }
+        ),
+        pd.DataFrame(
+            {
+                "part": "conv_hash",
+                "a": ch["conv_id"].astype(str),
+                "b": ch["text_hash"].astype(str),
+                "n": ch["n_turns"].astype("int64"),
+            }
+        ),
+    ]
+    return (
+        pd.concat(parts, ignore_index=True)
+        .sort_values(["part", "a"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def q_transcripts_conv_stats(sf_dir: str):
+    """Per-conversation analytics over the north-star transcripts table —
+    the conversation-level curation signals a training pipeline gates on:
+    turn count, tool-call turns, total/max text size, and the
+    conversation's wall-clock span. ONE hash aggregation (Count/Sum/Max/
+    Min partials), fully distributed; the per-turn char/tool columns are
+    derived vectorized per batch first."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    tdir, _ = fixtures.ensure_transcripts(min(_turns_for(sf_dir), 60_000))
+    ds = ray.data.read_parquet(tdir, columns=["conv_id", "tool", "text", "ts"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        texts = b["text"].combine_chunks()
+        n_chars = pc.cast(pc.utf8_length(texts).fill_null(0), pa.int64())
+        is_tool = pc.cast(pc.is_valid(b["tool"].combine_chunks()), pa.int64())
+        ep = pc.cast(b["ts"].combine_chunks(), pa.int64())  # µs
+        return pa.table(
+            {
+                "conv_id": b["conv_id"],
+                "n_chars": n_chars,
+                "is_tool": is_tool,
+                "ep_us": ep,
+            }
+        )
+
+    agg = (
+        ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("conv_id")
+        .aggregate(
+            Count(alias_name="n_turns"),
+            Sum("is_tool", alias_name="n_tool_turns"),
+            Sum("n_chars", alias_name="sum_chars"),
+            Max("n_chars", alias_name="max_chars"),
+            Min("ep_us", alias_name="_first_us"),
+            Max("ep_us", alias_name="_last_us"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        span = pc.divide(
+            pc.subtract(b["_last_us"], b["_first_us"]), 1_000_000
+        )
+        out = b.drop_columns(["_first_us", "_last_us"])
+        return out.append_column("span_s", pc.cast(span, pa.int64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_transcripts_structured(sf_dir: str):
@@ -1564,9 +1643,11 @@ QUERIES = {
     "miners_sampled": _miner_union_query({"logsig": _fit_logsig, "lke": _fit_lke}),
     # rows-only (non-SQL-expressible)
     "transcripts_sink_counts": q_transcripts_sink_counts,
+    # templates CSV aggregate + O1 per-conv text-hash conformance, unioned
+    # (audit-cap discipline — freed the slot transcripts_conv_stats holds)
     "transcripts_templates": q_transcripts_templates,
     "transcripts_structured": q_transcripts_structured,
-    "transcripts_conv_text_hash": q_transcripts_conv_text_hash,
+    "transcripts_conv_stats": q_transcripts_conv_stats,
     "rawlog_structured": q_rawlog_structured,
     # MinHash pairs + SimHash pairs + simhash clusters, consolidated
     # (audit-cap discipline — freed the slots docs_curation and

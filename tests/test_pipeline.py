@@ -804,3 +804,51 @@ def test_attach_dim_unknown_size_takes_join_path(ray_session, monkeypatch):
     got = attach_dim(fact, dim, **kw).to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
     assert calls["join"] == 1, "unknown-size dim must use the distributed join"
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_transcripts_conv_stats_matches_pandas(ray_session):
+    """Per-conversation analytics must equal the plain pandas reference."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from logparser_ray import fixtures
+    from logparser_ray.queries import q_transcripts_conv_stats
+
+    got = (
+        q_transcripts_conv_stats("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    tdir, _ = fixtures.ensure_transcripts(6_000)
+    import glob
+
+    df = pd.concat(
+        [pq.read_table(p).to_pandas() for p in sorted(glob.glob(f"{tdir}/*.parquet"))]
+    )
+    ep = df["ts"].astype("int64")
+    want = (
+        df.assign(
+            n_chars=df["text"].str.len().fillna(0).astype("int64"),
+            is_tool=df["tool"].notna().astype("int64"),
+            ep_us=ep,
+        )
+        .groupby("conv_id", as_index=False)
+        .agg(
+            n_turns=("text", "size"),
+            n_tool_turns=("is_tool", "sum"),
+            sum_chars=("n_chars", "sum"),
+            max_chars=("n_chars", "max"),
+            _first=("ep_us", "min"),
+            _last=("ep_us", "max"),
+        )
+        .assign(span_s=lambda d: (d["_last"] - d["_first"]) // 1_000_000)
+        .drop(columns=["_first", "_last"])
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[want.columns].astype("int64", errors="ignore"),
+        want.astype("int64", errors="ignore"),
+        check_dtype=False,
+    )
