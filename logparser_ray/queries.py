@@ -48,6 +48,14 @@ def _read(sf_dir: str, table: str, columns=None):
     )
 
 
+def _parquet_rows(sf_dir: str, table: str) -> int:
+    """Exact row count from parquet FOOTER metadata — free (no scan); the
+    row hint the bucketed window operators size their exchanges with."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(os.path.join(sf_dir, f"{table}.parquet")).metadata.num_rows
+
+
 def _turns_for(sf_dir: str) -> int:
     """Transcript scale matched to the driver sf dirs (lineitem-row parity)."""
     name = os.path.basename(os.path.normpath(sf_dir))
@@ -332,7 +340,7 @@ def q_events_lag_lead(sf_dir: str):
     from logparser_ray.stages.windows import lag_lead_bucketed
 
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
-    out = lag_lead_bucketed(ds)
+    out = lag_lead_bucketed(ds, n_rows=_parquet_rows(sf_dir, "events"))
 
     def fill(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -634,7 +642,7 @@ def q_events_sessionize(sf_dir: str):
     from logparser_ray.stages.windows import sessionize_bucketed
 
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
-    return sessionize_bucketed(ds, gap_s=1800.0)
+    return sessionize_bucketed(ds, gap_s=1800.0, n_rows=_parquet_rows(sf_dir, "events"))
 
 
 def q_events_avg_gap(sf_dir: str):

@@ -25,6 +25,21 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _exchange_blocks(n_rows: int | None) -> int:
+    """Keyed-exchange block count: CPU-bound by default, but capped by input
+    size when the caller passes a row hint — a 100k-row exchange split into
+    32 blocks pays ~32 aggregator spin-ups (~4-5 s fixed on this box) to
+    move ~3k rows each. ~50k rows per block keeps blocks meaningful; the
+    operators are block-structure-exact, so the count never changes results
+    (equality tests pin it)."""
+    import ray
+
+    cpus = max(2, int(ray.cluster_resources().get("CPU", 4)))
+    if n_rows is None:
+        return cpus
+    return max(2, min(cpus, n_rows // 50_000 + 1))
+
+
 def lag_lead_bucketed(
     ds,
     *,
@@ -32,6 +47,7 @@ def lag_lead_bucketed(
     ts_col: str = "ts",
     id_col: str = "event_id",
     bucket_s: int = 86_400,
+    n_rows: int | None = None,
 ):
     """Per-event LAG/LEAD window functions over ``(PARTITION BY user ORDER
     BY ts, id)``, hot-key-safe. Returns a Dataset ``(id_col, user_col,
@@ -54,7 +70,7 @@ def lag_lead_bucketed(
     import ray
     from ray.data.context import ShuffleStrategy
 
-    n_blocks = max(2, int(ray.cluster_resources().get("CPU", 4)))
+    n_blocks = _exchange_blocks(n_rows)
     n_blocks2 = max(2, n_blocks // 4)
     sch = ds.schema()  # ray.data Schema: parallel names/types lists
     id_type = dict(zip(sch.names, sch.types))[id_col]
@@ -203,6 +219,7 @@ def sessionize_bucketed(
     id_col: str = "event_id",
     gap_s: float = 1800.0,
     bucket_s: int = 86_400,
+    n_rows: int | None = None,
 ):
     """Per-user session counts, hot-key-safe. Returns a Dataset
     ``(user_col, n_sessions)`` identical to the naive single-group scan.
@@ -227,7 +244,7 @@ def sessionize_bucketed(
     from ray.data.context import ShuffleStrategy
 
     gap_us = int(gap_s * 1_000_000)
-    n_blocks = max(2, int(ray.cluster_resources().get("CPU", 4)))
+    n_blocks = _exchange_blocks(n_rows)
     n_blocks2 = max(2, n_blocks // 4)
 
     def add_bucket(b: pa.Table) -> pa.Table:
