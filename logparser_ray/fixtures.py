@@ -340,8 +340,32 @@ _HDFS_SPECS: list[tuple[str, list[list[str]]]] = [
     ("Exception in receiveBlock for block <*> java.io.IOException", [_BLKS]),
 ]
 
+_PATHS = ["/index.html", "/api/v1/users", "/api/v1/orders", "/static/app.js", "/login"]
+_AGENTS = ["curl/8.1", "Mozilla/5.0", "python-requests/2.31"]
+_MS = ["3", "12", "48", "150", "1200"]
+
+# third conformance family: web-access/nginx-like grammar — different
+# shape stressors than HDFS (a zero-wildcard template, adjacent wildcard
+# slots, shared vocab across templates, and one constant-light template)
+_WEBLOG_SPECS: list[tuple[str, list[list[str]]]] = [
+    ("client <*> request <*> <*> status <*>",
+     [_IPS, ["GET", "POST", "PUT"], _PATHS, ["200", "404", "500", "302"]]),
+    ("response sent bytes <*> in <*> ms", [["512", "2048", "81920", "33"], _MS]),
+    ("cache miss for <*> fetching upstream", [_PATHS]),
+    ("cache hit for <*>", [_PATHS]),
+    ("tls handshake from <*> cipher <*>",
+     [_IPS, ["aes128", "aes256", "chacha20"]]),
+    ("rate limit exceeded for <*> retry after <*> s", [_IPS, ["1", "5", "30"]]),
+    ("worker <*> reloaded configuration", [["w0", "w1", "w2", "w3"]]),
+    ("upstream timeout contacting <*> after <*> ms", [_IPS, _MS]),
+    ("session <*> expired for agent <*>",
+     [[f"s{v}" for v in (11, 93, 207, 5)], _AGENTS]),
+    ("healthcheck ok", []),
+]
+
 _CORPUS_FAMILIES: dict[str, list[tuple[str, list[list[str]]]]] = {
     "hdfs": _HDFS_SPECS,
+    "weblog": _WEBLOG_SPECS,
 }
 
 
