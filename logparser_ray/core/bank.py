@@ -246,11 +246,17 @@ class CompiledBank:
                 un &= ~m
         unmatched &= matched == len(self.templates)
 
-    def match_array(self, texts: pa.Array | pa.ChunkedArray):
+    def match_array(
+        self, texts: pa.Array | pa.ChunkedArray, with_params: bool = True
+    ):
         """Return ``(template_id, template, params)`` Arrow arrays for texts.
 
         ``params`` is ``list<string>`` (slot fills in slot order; empty list
-        for slotless templates and fallthrough rows).
+        for slotless templates and fallthrough rows) — or ``None`` with
+        ``with_params=False``, which SKIPS the per-template ``extract_regex``
+        passes entirely (measured: they cost as much as the match passes, so
+        no-params callers were paying ~2× — 0.10 s → 0.05 s per 75k-row
+        shard).
         """
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
@@ -267,6 +273,8 @@ class CompiledBank:
 
         template_id = pa.array(self._ids[matched], type=pa.string())
         template = pa.array(self._strings[matched], type=pa.string())
+        if not with_params:
+            return template_id, template, None
 
         # params: one vectorized extract_regex per matched template, values
         # scattered into a flat buffer by (template, slot) — no per-row Python.
@@ -296,7 +304,9 @@ class CompiledBank:
         self, batch: pa.Table, text_col: str = "text", with_params: bool = True
     ) -> pa.Table:
         """Append ``template_id``/``template``/``params`` columns to a batch."""
-        tid, tmpl, params = self.match_array(batch[text_col])
+        tid, tmpl, params = self.match_array(
+            batch[text_col], with_params=with_params
+        )
         out = batch.append_column("template_id", tid).append_column("template", tmpl)
         if with_params:
             out = out.append_column("params", params)
