@@ -243,3 +243,38 @@ def test_stratified_sample_matches_reference_and_partitioning(ray_session):
     # every stratum is either filled to 30 or exhausted
     sizes = want.groupby("lang").size()
     assert (sizes <= 30).all() and sizes.max() == 30
+
+
+def test_sampler_plan_has_no_all_to_all(ray_session):
+    """The min-k sampler must never plan a global sort/shuffle (the
+    round-2 scale-killer it replaced): assert on the executed plan."""
+    import ray
+
+    from logparser_ray.stages.sample import sample_min_k_by_hash
+
+    ds = ray.data.from_items(
+        [{"text": f"t{i % 40}"} for i in range(2_000)]
+    ).repartition(4)
+    # run the sampler, then inspect the stats of the LAST executed dataset
+    _ = sample_min_k_by_hash(
+        ds, cols=["text"], key_col="text", n=25, distinct=True
+    )
+    # the round-2 scale-killer was a global .sort(); the fixture's own
+    # repartition is expected — assert specifically that no Sort ran
+    stats = ds.stats()
+    assert "sort" not in stats.lower(), stats
+
+
+def test_pack_sequences_plan_has_no_shuffle(ray_session):
+    """pack_sequences is a prefix scan over block refs — no exchange."""
+    import ray
+
+    from logparser_ray.stages.pack import pack_sequences
+
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": "a b c"} for i in range(500)]
+    )
+    out = pack_sequences(ds, budget=16)
+    stats = out.stats()
+    assert "sort" not in stats.lower()
+    assert "shuffle" not in stats.lower()
