@@ -273,6 +273,66 @@ def q_orders_customer_join(sf_dir: str):
     )
 
 
+def q_tpch_group_aggs(sf_dir: str):
+    """Tagged union of the two small TPC-H group aggregates (orders per
+    month + parts per type-word — audit-cap discipline: freed the slot
+    ``docs_corpus_prep`` holds). Both halves stay fully SQL-oracled via
+    UNION ALL."""
+    import pandas as pd
+
+    om = q_orders_monthly(sf_dir).to_pandas()
+    pt = q_parts_by_type(sf_dir).to_pandas()
+    parts = [
+        pd.DataFrame(
+            {
+                "part": "orders_monthly",
+                "grp": om["month"].astype(str),
+                "n": om["n_orders"].astype("int64"),
+                "cents": om["revenue_cents"].astype("int64"),
+            }
+        ),
+        pd.DataFrame(
+            {
+                "part": "parts_by_type",
+                "grp": pt["type_word"].astype(str),
+                "n": pt["n_parts"].astype("int64"),
+                "cents": pt["price_cents"].astype("int64"),
+            }
+        ),
+    ]
+    return (
+        pd.concat(parts, ignore_index=True)
+        .sort_values(["part", "grp"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def q_docs_corpus_prep(sf_dir: str):
+    """The COMPOSED training-corpus prep pipeline (pipelines/prep.py):
+    quality gate → PII redact → per-source mixture sample → exact dedup →
+    order restore → sequence packing — pinned END TO END by one SQL
+    oracle (gate predicate, md5 mixture thresholds, min-doc_id-per-text
+    dedup, and the packing window expression composed in one nested
+    query). Redaction is identity on this corpus (no natural PII); its
+    exact rewrite is pinned separately by ``docs_curation``'s augmented
+    md5 digest. Returns one row per surviving doc:
+    ``(doc_id, n_tok, seq_id)``."""
+    from logparser_ray.pipelines.prep import prep_corpus
+
+    res = prep_corpus(
+        _read(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"]),
+        rates=PREP_RATES,
+        default_rate=0.7,
+        budget=1024,
+    )
+    return res["dataset"].select_columns(["doc_id", "n_tok", "seq_id"])
+
+
+# mixture weights for the composed prep pipeline's sampling stage; the SQL
+# oracle's CASE thresholds are format(int(rate·2³²), '08x') of these
+PREP_RATES = {"src0": 0.9, "src1": 0.5}
+
+
 def q_parts_by_type(sf_dir: str):
     """part table: count + retail-price cents per p_type prefix word."""
     ds = _read(sf_dir, "part", columns=["p_type", "p_retailprice"])
@@ -1612,10 +1672,10 @@ QUERIES = {
     "customers_semi_anti": q_customers_semi_anti,
     "revenue_by_nation": q_revenue_by_nation,
     "events_distinct_users": q_events_distinct_users,
-    "orders_monthly": q_orders_monthly,
+    "tpch_group_aggs": q_tpch_group_aggs,
+    "docs_corpus_prep": q_docs_corpus_prep,
     "top_orders_per_segment": q_top_orders_per_segment,
     "lineitem_pricing": q_lineitem_pricing,
-    "parts_by_type": q_parts_by_type,
     "suppliers_star": q_suppliers_star,
     "events_lag_lead": q_events_lag_lead,
     "events_union_extremes": q_events_union_extremes,
@@ -1910,10 +1970,51 @@ ORACLE = {
         "SELECT event_type, count(DISTINCT user_id) AS n_users "
         "FROM events GROUP BY event_type"
     ),
-    "orders_monthly": (
-        "SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders, "
-        "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents "
-        "FROM orders GROUP BY 1"
+    "tpch_group_aggs": (
+        "SELECT 'orders_monthly' AS part, strftime(o_orderdate, '%Y-%m') AS grp, "
+        "count(*) AS n, "
+        "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents "
+        "FROM orders GROUP BY 1, 2 "
+        "UNION ALL "
+        "SELECT 'parts_by_type' AS part, regexp_extract(p_type, '^(\\S+)', 1) AS grp, "
+        "count(*) AS n, "
+        "CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents "
+        "FROM part GROUP BY 1, 2"
+    ),
+    # the composed prep pipeline, end to end: gate → (identity) redact →
+    # mixture → dedup-first-per-text → pack. Thresholds are the hex of
+    # PREP_RATES / default 0.7; packing budget 1024
+    "docs_corpus_prep": (
+        "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+        "FROM documents), "
+        "wf AS (SELECT doc_id, tok, count(*)::BIGINT AS n FROM toks GROUP BY 1, 2), "
+        "words AS (SELECT doc_id, sum(n)::BIGINT AS n_words, max(n) AS max_word_n "
+        "FROM wf GROUP BY 1), "
+        "bi AS (SELECT t.doc_id, t.toks[i] || ' ' || t.toks[i + 1] AS bg "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t, "
+        "unnest(range(1, len(t.toks))) AS r(i)), "
+        "bmax AS (SELECT doc_id, max(n) AS top_bigram_n FROM "
+        "(SELECT doc_id, bg, count(*)::BIGINT AS n FROM bi GROUP BY 1, 2) GROUP BY 1), "
+        "kept AS (SELECT d.doc_id, d.text, d.source FROM documents d "
+        "JOIN words w USING (doc_id) LEFT JOIN bmax b USING (doc_id) "
+        "WHERE w.n_words >= 10 AND w.n_words <= 100000 "
+        "AND w.max_word_n * 8 <= w.n_words "
+        "AND coalesce(b.top_bigram_n, 0) * 16 <= w.n_words), "
+        "mixed AS (SELECT * FROM kept WHERE substr(md5(text), 1, 8) < "
+        "(CASE source "
+        + " ".join(
+            f"WHEN '{g}' THEN '{format(min(int(r * (1 << 32)), (1 << 32) - 1), '08x')}'"
+            for g, r in sorted(PREP_RATES.items())
+        )
+        + f" ELSE '{format(int(0.7 * (1 << 32)), '08x')}' END)), "
+        "dedup AS (SELECT doc_id, text FROM (SELECT doc_id, text, "
+        "row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM mixed) "
+        "WHERE rn = 1), "
+        "counted AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok "
+        "FROM dedup) "
+        "SELECT doc_id, n_tok, coalesce(sum(n_tok) OVER (ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1024 AS seq_id "
+        "FROM counted"
     ),
     "top_orders_per_segment": (
         "SELECT c_mktsegment, o_orderkey, price_cents FROM ("
@@ -1943,12 +2044,6 @@ ORACLE = {
         "coalesce(lag(event_id) OVER w, -1) AS prev_id, "
         "coalesce(lead(event_id) OVER w, -1) AS next_id "
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
-    ),
-    "parts_by_type": (
-        "SELECT regexp_extract(p_type, '^(\\S+)', 1) AS type_word, "
-        "count(*) AS n_parts, "
-        "CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents "
-        "FROM part GROUP BY 1"
     ),
     "events_union_extremes": (
         "SELECT event_type, count(*) AS n FROM ("

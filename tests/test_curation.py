@@ -263,3 +263,30 @@ def test_pack_sequences_rejects_interleaved_ids(ray_session):
     ds = ray.data.from_arrow([b1, b2])
     with pytest.raises(ValueError, match="disjoint"):
         pack_sequences(ds, budget=8).materialize()
+
+
+def test_prep_corpus_write_and_metrics(ray_session, tmp_path):
+    import glob
+
+    import ray
+
+    from logparser_ray.pipelines.prep import prep_corpus
+
+    out = str(tmp_path / "prep_out")
+    res = prep_corpus(
+        "/root/testdata/sf0.001/documents.parquet",
+        out_dir=out,
+        budget=512,
+        seq_per_part=4,
+    )
+    m = res["metrics"]
+    assert m["rows_in"] > 0
+    assert 0 < m["rows_deduped"] <= m["rows_in"]
+    assert m["n_sequences"] >= 1
+    parts = glob.glob(f"{out}/seq_part=*")
+    assert len(parts) >= 1  # partitioned output, never one giant file
+    back = ray.data.read_parquet(out)
+    assert back.count() == m["rows_deduped"]
+    # every doc fits in exactly one sequence; bins are dense from 0
+    seqs = sorted(set(back.to_pandas()["seq_id"]))
+    assert seqs[0] == 0 and seqs[-1] == m["n_sequences"] - 1
