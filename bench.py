@@ -141,6 +141,7 @@ def run_bench() -> dict:
         ("media_features", QUERIES["media_features"]),
         ("docs_curation", QUERIES["docs_curation"]),
         ("docs_tfidf_topk", QUERIES["docs_tfidf_topk"]),
+        ("docs_corpus_prep", QUERIES["docs_corpus_prep"]),
     ):
         t0 = time.perf_counter()
         r = fn(SF_DIR)
