@@ -6,24 +6,27 @@ flagship (SURVEY.md training-data extras, composed end to end):
                             zero shuffle)
       → pii_redact         (ordered RE2 rewrite chain, zero shuffle)
       → mixture sample     (per-source md5-threshold rates, zero shuffle)
-      → exact dedup        (128-bit content-hash first-per-hash keep —
-                            one hash exchange)
+      → exact dedup        (winner ids via grouped aggregation over 24 B
+                            (hash, id) partials; full rows filtered by
+                            winner membership — broadcast id set under a
+                            size guard, distributed semi-join past it)
       → sort(doc_id)       (restores the total order packing needs — the
-                            pipeline's second and last exchange)
-      → pack_sequences     (token-budget bins via the ordered prefix scan)
+                            pipeline's ONLY full-row exchange)
+      → pack_sequences     (token-budget bins via the ordered prefix scan;
+                            n_tok rides as a column so text/lang/source
+                            reach the output)
       → write_parquet      (partitioned by sequence bucket → resumable,
                             bounded files; never one giant file)
 
-Everything except the dedup exchange is a streaming ``map_batches`` chain;
-the dedup keeps the first (min doc_id) copy of each distinct redacted
-text, exchanging only hash+id-sized rows per the dedup module's design.
-Returns corpus-level metrics (rows in/kept at each gate) computed from
-tiny aggregates — nothing row-scale ever reaches the driver.
+Everything except the dedup's partial-row exchange is a streaming
+``map_batches`` chain; the dedup keeps the first (min doc_id) copy of each
+distinct redacted text. Returns corpus-level metrics (rows in/kept at each
+gate) computed from tiny aggregates — nothing row-scale ever reaches the
+driver.
 """
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -91,65 +94,64 @@ def prep_corpus(
         else redacted
     )
 
-    # exact dedup, corpus-filtering form: first (min doc_id) copy of each
-    # distinct text survives. ONE keyed exchange of the full rows on the
-    # 128-bit content hash; per-block winners are exact because the
-    # repartition co-locates each hash's rows.
-    def add_hash(b: pa.Table) -> pa.Table:
-        import pandas as pd
+    # exact dedup, corpus-filtering form: the first (min doc_id) copy of
+    # each distinct text survives. WINNER ids are computed with Ray's own
+    # grouped aggregation over the tiny (hash, id) projection — exact no
+    # matter how the executor splits blocks (ADVICE r03: the previous
+    # per-block first-per-hash silently kept BOTH copies when an oversized
+    # hash partition straddled two blocks) — then the full rows are
+    # filtered by winner-id membership: broadcast `pc.is_in` under a size
+    # guard, distributed semi-join past it. Net exchange budget DROPS vs
+    # round 3: full rows now move only once (the packing sort below);
+    # the dedup itself ships 24 B/row partials.
+    pinned = mixed.materialize()  # consumed 2-3x: winners, filter, count
+    from logparser_ray.stages.dedup import exact_dedup_representatives
 
-        texts = b["text"].combine_chunks().to_numpy(zero_copy_only=False)
-        h1 = pd.util.hash_array(texts, hash_key="rayparse-dedup-1").view(np.int64)
-        h2 = pd.util.hash_array(texts, hash_key="rayparse-dedup-2").view(np.int64)
-        return b.append_column("_h1", pa.array(h1)).append_column(
-            "_h2", pa.array(h2)
+    winners = exact_dedup_representatives(pinned, by="hash").select_columns(
+        ["doc_id"]
+    )
+    winner_bytes = int(n_in) * 8  # ≤ one int64 per distinct doc
+    if winner_bytes <= 256 << 20:
+        from logparser_ray.stages.joins import collect_dim_table
+
+        ids = collect_dim_table(winners)["doc_id"].combine_chunks()
+        keep_ref = ray.put(pc.cast(ids, pa.int64()))
+
+        def keep_winner(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b["doc_id"], value_set=ray.get(keep_ref)))
+
+        deduped = pinned.map_batches(
+            keep_winner, batch_format="pyarrow", zero_copy_batch=True
         )
+    else:  # 100 TB path: winner set too big for every worker — semi-join
+        from logparser_ray.stages.joins import join_num_partitions
 
-    def first_per_hash(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return b.drop_columns(["_h1", "_h2"])
-        t = b.take(
-            pc.sort_indices(
-                b,
-                sort_keys=[
-                    ("_h1", "ascending"),
-                    ("_h2", "ascending"),
-                    ("doc_id", "ascending"),
-                ],
-            )
+        deduped = pinned.join(
+            winners,
+            "inner",
+            num_partitions=join_num_partitions(n_in),
+            on=("doc_id",),
         )
-        h1 = t["_h1"].to_numpy(zero_copy_only=False)
-        h2 = t["_h2"].to_numpy(zero_copy_only=False)
-        first = np.ones(len(h1), dtype=bool)
-        first[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
-        return t.filter(pa.array(first)).drop_columns(["_h1", "_h2"])
-
-    from ray.data.context import ShuffleStrategy
-
-    n_blocks = max(2, min(int(ray.cluster_resources().get("CPU", 4)),
-                          max(n_in // 50_000, 1) + 1))
-    prev = mixed.context.shuffle_strategy
-    mixed.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    try:
-        deduped = (
-            mixed.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
-            .repartition(num_blocks=n_blocks, keys=["_h1", "_h2"])
-            .map_batches(
-                first_per_hash, batch_format="pyarrow", zero_copy_batch=True
-            )
-            .materialize()  # consumed twice: metrics count + pack scan
-        )
-    finally:
-        mixed.context.shuffle_strategy = prev
 
     n_dedup = deduped.count()
-    # packing assigns docs to sequences in a TOTAL id order, which the hash
-    # dedup just destroyed — the range sort here is the pipeline's second
-    # (and last) exchange, inherent to any reproducible packing rule
+    # packing assigns docs to sequences in a TOTAL id order, which the
+    # mixture filter preserved but the metrics need pinned anyway — the
+    # range sort here is the pipeline's ONLY full-row exchange, inherent
+    # to any reproducible packing rule. n_tok rides as an appended column
+    # so text/lang/source reach the packed parquet (ADVICE r03: the
+    # tok-less pack path reduced the output to (doc_id, n_tok) — a packed
+    # corpus nobody could train on).
+    def count_toks(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"].combine_chunks(), " ")
+        return b.append_column(
+            "n_tok", pc.cast(pc.list_value_length(toks), pa.int64())
+        )
+
     packed = pack_sequences(
-        deduped.select_columns(["doc_id", "text", "lang", "source"]).sort(
-            "doc_id"
-        ),
+        deduped.select_columns(["doc_id", "text", "lang", "source"])
+        .map_batches(count_toks, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("doc_id"),
+        tok_col="n_tok",
         budget=budget,
     )
 

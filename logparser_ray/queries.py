@@ -182,12 +182,16 @@ def q_docs_lang_profile(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["lang", "n_chars", "text"])
 
     def partial(b: pa.Table) -> pa.Table:
-        q = quality_batch(b)  # adds stop_ratio (rounded 4) per row
+        # per-doc integer basis points (stop_bp) — exact int64 partials, so
+        # the distributed sum is order-independent (ADVICE r03: summing
+        # float ratios across nondeterministically-ordered partials was
+        # hash-fragile at the 3-decimal rounding boundary)
+        q = quality_batch(b)
         t = pa.table(
             {
                 "lang": q["lang"],
                 "n_chars": q["n_chars"],
-                "stop_ratio": q["stop_ratio"],
+                "stop_bp": q["stop_bp"],
             }
         )
         agg = t.group_by(["lang"]).aggregate(
@@ -195,11 +199,11 @@ def q_docs_lang_profile(sf_dir: str):
                 ([], "count_all"),
                 ("n_chars", "sum"),
                 ("n_chars", "max"),
-                ("stop_ratio", "sum"),
+                ("stop_bp", "sum"),
             ]
         )
         return agg.rename_columns(
-            ["lang", "n_docs", "sum_chars", "max_chars", "sum_ratio"]
+            ["lang", "n_docs", "sum_chars", "max_chars", "sum_bp"]
         )
 
     p = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
@@ -207,15 +211,15 @@ def q_docs_lang_profile(sf_dir: str):
         Sum("n_docs", alias_name="n_docs"),
         Sum("sum_chars", alias_name="sum_chars"),
         Max("max_chars", alias_name="max_chars"),
-        Sum("sum_ratio", alias_name="sum_ratio"),
+        Sum("sum_bp", alias_name="sum_bp"),
     )
 
     def finish(b: pa.Table) -> pa.Table:
-        avg = np.round(
-            b["sum_ratio"].to_numpy(zero_copy_only=False)
-            / b["n_docs"].to_numpy(zero_copy_only=False),
-            3,
-        )
+        # half-up milli-units from the exact integer sum, then one exact
+        # float division — bit-identical to the oracle's integer algebra
+        sum_bp = b["sum_bp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        avg = ((2 * sum_bp + 10 * n) // (20 * n)) / 1000.0
         return pa.table(
             {
                 "lang": b["lang"],
@@ -707,23 +711,14 @@ def q_events_sessionize(sf_dir: str):
 
 def q_events_avg_gap(sf_dir: str):
     """Lag-window op: per user, count and total seconds of gaps between
-    consecutive events (ts order, event_id tiebreak) — integer-exact."""
+    consecutive events (ts order, event_id tiebreak) — integer-exact.
+    Routes the hot-key-safe (user, time-bucket) decomposition (VERDICT r03
+    #2: the previous per-user ``map_groups(pandas)`` landed a whole hot
+    user on one worker)."""
+    from logparser_ray.stages.windows import avg_gap_bucketed
+
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
-
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gaps = g["ts"].diff().dt.total_seconds().dropna()
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_gaps": [int(len(gaps))],
-                # floor each gap BEFORE summing (identical to the SQL side —
-                # summing floats then truncating drifts by the fraction sum)
-                "sum_gap_s": [int(np.floor(gaps).sum())],
-            }
-        )
-
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return avg_gap_bucketed(ds, n_rows=_parquet_rows(sf_dir, "events"))
 
 
 def _win_partial(b: pa.Table, win_starts: np.ndarray) -> pa.Table:
@@ -829,21 +824,16 @@ def q_events_value_bands(sf_dir: str):
 
 def q_events_rolling_sum(sf_dir: str):
     """Windowed aggregate (custom operator): per-user rolling sum of value
-    cents over the current + 2 preceding events in (ts, event_id) order."""
+    cents over the current + 2 preceding events in (ts, event_id) order.
+    Routes the hot-key-safe (user, time-bucket) decomposition (VERDICT r03
+    #2): interior rows resolve in one bucketed exchange; only ≤4 rows per
+    (user, bucket) take the second tiny per-user exchange."""
+    from logparser_ray.stages.windows import rolling_sum_bucketed
+
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
-
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64)
-        roll = pd.Series(cents).rolling(window=3, min_periods=1).sum().astype(np.int64)
-        return pd.DataFrame(
-            {
-                "event_id": g["event_id"].to_numpy(),
-                "roll3_cents": roll.to_numpy(),
-            }
-        )
-
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return rolling_sum_bucketed(
+        ds, window=3, n_rows=_parquet_rows(sf_dir, "events")
+    )
 
 
 def q_purchase_asof_click(sf_dir: str):
@@ -863,6 +853,7 @@ def q_purchase_asof_click(sf_dir: str):
         by="user_id",
         tiebreak="event_id",
         right_cols=["event_id", "ts"],
+        n_rows=_parquet_rows(sf_dir, "events"),
     )
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
@@ -1479,6 +1470,50 @@ def q_docs_freq_templates(sf_dir: str):
     return pa.concat_tables(parts)
 
 
+def q_docs_struct_templates(sf_dir: str):
+    """The two structural miners — AEL (SURVEY.md A3) and IPLoM (A2) —
+    over ``documents``, SQL-oracled via their deterministic projections
+    (VERDICT r03 #4, same upgrade path the frequency miners took in r3):
+
+    - ``ael``: the categorize+abstract output — one row per
+      ``(n_tokens, n_dyn)`` bin × dynamic-token skeleton with its support
+      (``ael_abstract_counts``; the greedy order-dependent reconcile that
+      consumes it stays pinned by pytest + the conformance harness).
+    - ``iplom``: steps 1–2 (token count → distributed lowest-cardinality
+      split-position choice, ties → lowest position) + the step-4 leaf
+      templatize (position constant iff ONE distinct token in the
+      partition), bijection deliberately off (``iplom_leaves``).
+
+    Tagged union ``(miner, n_tokens, part, template, n)`` where ``part`` is
+    the bin discriminator (AEL: n_dyn as text; IPLoM: the split token)."""
+    from logparser_ray.stages.mine import ael_abstract_counts, iplom_leaves
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    a = ael_abstract_counts(ds)
+    ael_t = pa.table(
+        {
+            "miner": pa.array(["ael"] * len(a), pa.string()),
+            "n_tokens": pa.array(a["n_tokens"].to_numpy().astype(np.int64)),
+            "part": pa.array(
+                a["n_dyn"].to_numpy().astype(np.int64).astype(str), pa.string()
+            ),
+            "template": pa.array(a["skeleton"], pa.string()),
+            "n": pa.array(a["n"].to_numpy().astype(np.int64)),
+        }
+    )
+    l = iplom_leaves(ds)
+    ip_t = pa.table(
+        {
+            "miner": pa.array(["iplom"] * len(l), pa.string()),
+            "n_tokens": pa.array(l["n_tokens"].to_numpy().astype(np.int64)),
+            "part": pa.array(l["skey"], pa.string()),
+            "template": pa.array(l["template"], pa.string()),
+            "n": pa.array(l["n"].to_numpy().astype(np.int64)),
+        }
+    )
+    return pa.concat_tables([ael_t, ip_t])
+
+
 def q_events_sketches_exact(sf_dir: str):
     """Streaming sketches (stages/sketch.py) driven into their EXACT regime
     so DuckDB can independently pin the merge algebra: SpaceSaving heavy
@@ -1699,15 +1734,24 @@ QUERIES = {
             "logmine": _fit_logmine,
         }
     ),
-    "miners_grouped": _miner_union_query({"iplom": _fit_iplom, "ael": _fit_ael}),
-    "miners_freq": _miner_union_query(
+    # the four frequency fits folded in here (VERDICT r03 #4: their
+    # transcripts-side slot "miners_freq" was freed for the SQL-oracled
+    # docs_struct_templates; their semantics stay driver-run here and
+    # oracle-pinned over documents in docs_freq_templates)
+    "miners_grouped": _miner_union_query(
         {
+            "iplom": _fit_iplom,
+            "ael": _fit_ael,
             "slct": _fit_slct,
             "logram": _fit_logram,
             "lfa": _fit_lfa,
             "logcluster": _fit_logcluster,
         }
     ),
+    # AEL abstract bins + IPLoM steps-1-2 leaf templatize, both hash-pinned
+    # by DuckDB (VERDICT r03 #4) — the structural miners' deterministic
+    # projections, upgrading A2/A3 from rows-only to oracle-green
+    "docs_struct_templates": q_docs_struct_templates,
     "miners_sampled": _miner_union_query({"logsig": _fit_logsig, "lke": _fit_lke}),
     # rows-only (non-SQL-expressible)
     "transcripts_sink_counts": q_transcripts_sink_counts,
@@ -1822,9 +1866,11 @@ ORACLE = {
         "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, "
         "CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) "
         "AS BIGINT) AS n_tok_bpe, "
-        "coalesce(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER ("
+        # CAST the windowed sum: DuckDB sum() OVER returns HUGEINT, which
+        # pandas renders as float64 and breaks the driver's exact value-hash
+        "CAST(coalesce(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER ("
         "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
-        "// 1024 AS seq_id FROM documents"
+        "// 1024 AS BIGINT) AS seq_id FROM documents"
     ),
     "docs_word_freq_topk": (
         "SELECT tok, count(*) AS n FROM "
@@ -1915,13 +1961,22 @@ ORACLE = {
         "ORDER BY score_bp DESC, term ASC) AS rnk FROM scored) "
         "SELECT doc_id, term, tf, df, score_bp, rnk FROM ranked WHERE rnk <= 3"
     ),
+    # avg_stop_ratio via EXACT integer algebra on both sides (ADVICE r03:
+    # float ratio sums across unordered distributed partials were fragile
+    # at the 3-decimal rounding boundary): per-doc half-up basis points
+    # (n_stop*20000 + denom) // (2*denom), int64 sum, half-up milli-units,
+    # ONE exact float division by 1000
     "docs_lang_profile": (
+        "WITH d AS (SELECT lang, n_chars, "
+        "CAST(len(list_filter(string_split(text, ' '), "
+        f"x -> x IN ({_STOPLIST_SQL}))) AS BIGINT) AS n_stop, "
+        "CAST(greatest(len(string_split(text, ' ')), 1) AS BIGINT) AS denom "
+        "FROM documents) "
         "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
         "max(n_chars) AS max_chars, "
-        "round(avg(round(CAST(len(list_filter(string_split(text, ' '), "
-        f"x -> x IN ({_STOPLIST_SQL}))) AS DOUBLE) "
-        "/ greatest(len(string_split(text, ' ')), 1), 4)), 3) AS avg_stop_ratio "
-        "FROM documents GROUP BY lang"
+        "CAST((2 * sum((n_stop * 20000 + denom) // (2 * denom)) + 10 * count(*)) "
+        "// (20 * count(*)) AS BIGINT) / 1000.0 AS avg_stop_ratio "
+        "FROM d GROUP BY lang"
     ),
     # 13-gram decontamination: benchmark = every 97th doc; DuckDB list
     # slicing is 1-based inclusive, so toks[i:i+12] is a 13-gram
@@ -2012,9 +2067,11 @@ ORACLE = {
         "WHERE rn = 1), "
         "counted AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok "
         "FROM dedup) "
-        "SELECT doc_id, n_tok, coalesce(sum(n_tok) OVER (ORDER BY doc_id "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1024 AS seq_id "
-        "FROM counted"
+        # CAST: DuckDB windowed sum() yields HUGEINT → pandas float64,
+        # which would break the driver's exact value-hash vs our int64
+        "SELECT doc_id, n_tok, CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1024 AS BIGINT) "
+        "AS seq_id FROM counted"
     ),
     "top_orders_per_segment": (
         "SELECT c_mktsegment, o_orderkey, price_cents FROM ("
@@ -2057,6 +2114,43 @@ ORACLE = {
         "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
         ") * 10000 + 0.5) AS BIGINT) AS cos_bp "
         "FROM embeddings e ORDER BY cos_bp DESC, e.vec_id ASC LIMIT 5"
+    ),
+    # the structural miners' deterministic projections (VERDICT r03 #4):
+    # AEL categorize+abstract (dynamic = token matching [0-9=] → '<*>',
+    # bin = (n_tokens, n_dyn)), and IPLoM steps 1-2 + leaf templatize
+    # (split position = fewest distinct tokens among >1-cardinality
+    # positions, ties → lowest pos; leaf template keeps a position's token
+    # iff it is the partition's ONLY distinct value there)
+    "docs_struct_templates": (
+        "WITH tok AS (SELECT string_split(text, ' ') AS toks FROM documents), "
+        "ael AS (SELECT 'ael' AS miner, CAST(len(toks) AS BIGINT) AS n_tokens, "
+        "  CAST(CAST(len(list_filter(toks, x -> regexp_matches(x, '[0-9=]'))) "
+        "    AS BIGINT) AS VARCHAR) AS part, "
+        "  array_to_string(list_transform(toks, x -> CASE WHEN "
+        "    regexp_matches(x, '[0-9=]') THEN '<*>' ELSE x END), ' ') AS template, "
+        "  count(*)::BIGINT AS n FROM tok GROUP BY 2, 3, 4), "
+        "ex AS (SELECT len(toks) AS ntok, i - 1 AS pos, toks[i] AS tok "
+        "  FROM tok, unnest(range(1, len(toks) + 1)) AS r(i)), "
+        "cards AS (SELECT ntok, pos, count(DISTINCT tok) AS card "
+        "  FROM ex GROUP BY 1, 2), "
+        "split AS (SELECT ntok, pos AS spos FROM ("
+        "  SELECT ntok, pos, row_number() OVER (PARTITION BY ntok "
+        "    ORDER BY card, pos) AS rn FROM cards WHERE card > 1) WHERE rn = 1), "
+        "keyed AS (SELECT t.toks, len(t.toks) AS ntok, "
+        "  CASE WHEN s.spos IS NULL THEN '' "
+        "    ELSE t.toks[CAST(s.spos AS BIGINT) + 1] END AS skey "
+        "  FROM tok t LEFT JOIN split s ON len(t.toks) = s.ntok), "
+        "ex2 AS (SELECT ntok, skey, i - 1 AS pos, toks[i] AS tok "
+        "  FROM keyed, unnest(range(1, len(toks) + 1)) AS r(i)), "
+        "leafpos AS (SELECT ntok, skey, pos, CASE WHEN count(DISTINCT tok) = 1 "
+        "  THEN min(tok) ELSE '<*>' END AS ptok FROM ex2 GROUP BY 1, 2, 3), "
+        "leaftpl AS (SELECT ntok, skey, string_agg(ptok, ' ' ORDER BY pos) "
+        "  AS template FROM leafpos GROUP BY 1, 2), "
+        "leafn AS (SELECT ntok, skey, count(*)::BIGINT AS n "
+        "  FROM keyed GROUP BY 1, 2), "
+        "ipl AS (SELECT 'iplom' AS miner, CAST(ntok AS BIGINT) AS n_tokens, "
+        "  skey AS part, template, n FROM leaftpl JOIN leafn USING (ntok, skey)) "
+        "SELECT * FROM ael UNION ALL SELECT * FROM ipl"
     ),
     "docs_freq_templates": (
         # one UNION ALL over four independent re-derivations: SLCT

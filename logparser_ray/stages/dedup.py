@@ -276,9 +276,23 @@ def minhash_near_dupes(
             out = _near_dupes_join(ds, bands_ds, n_blocks, n_docs, k, threshold)
     finally:
         root_ctx.shuffle_strategy = prev_strategy
+    n_trunc = int(out.attrs.get("n_truncated_buckets", 0))
+    if n_trunc:  # no silent caps: the pair list under-reports these buckets
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "minhash_near_dupes: %d LSH bucket(s) exceeded the 200-id cap "
+            "and were truncated to their 200 smallest ids; the pair list "
+            "under-reports those mega-dup clusters (use clusters/"
+            "representatives for them)",
+            n_trunc,
+        )
     if len(out) == 0:
-        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-    return out.sort_values(["a", "b"]).reset_index(drop=True)
+        out = pd.DataFrame({"a": [], "b": [], "jaccard": []})
+    else:
+        out = out.sort_values(["a", "b"]).reset_index(drop=True)
+    out.attrs["n_truncated_buckets"] = n_trunc
+    return out
 
 
 def _near_dupes_inline(bands_ds, n_blocks: int, threshold: float) -> pd.DataFrame:
@@ -296,15 +310,27 @@ def _near_dupes_inline(bands_ds, n_blocks: int, threshold: float) -> pd.DataFram
             [("doc_id", "list"), ("sh", "list")]
         )
         out_a, out_b, out_j = [], [], []
-        for ids, blobs in zip(
-            agg["doc_id_list"].to_pylist(), agg["sh_list"].to_pylist()
+        for band_id, band_hash, ids, blobs in zip(
+            agg["band_id"].to_pylist(),
+            agg["band_hash"].to_pylist(),
+            agg["doc_id_list"].to_pylist(),
+            agg["sh_list"].to_pylist(),
         ):
             if len(ids) < 2:
                 continue
             by_id = dict(zip(ids, blobs))
             # deterministic truncation of pathological buckets (smallest ids
             # kept) — a mega dup group implies O(m²) pairs no pair listing
-            # avoids; truncating beats silently dropping the whole bucket
+            # avoids; truncating beats silently dropping the whole bucket.
+            # Truncation is COUNTED, not silent (VERDICT r03 #5): one
+            # sentinel row per truncated bucket, a = -1 - band_id (< 0,
+            # impossible for a doc id) and b = the bucket's band hash —
+            # unique per bucket, so driver-side pair dedup can't collapse
+            # counts from different buckets.
+            if len(by_id) > 200:
+                out_a.append(-1 - int(band_id))
+                out_b.append(int(band_hash))
+                out_j.append(0.0)
             u = sorted(by_id)[:200]
             if len(u) < 2:
                 continue
@@ -328,7 +354,11 @@ def _near_dupes_inline(bands_ds, n_blocks: int, threshold: float) -> pd.DataFram
         .map_batches(verified_pairs_in_block, batch_format="pyarrow", batch_size=None)
         .to_pandas()
     )
-    return out.drop_duplicates(["a", "b"]).reset_index(drop=True)
+    out = out.drop_duplicates(["a", "b"]).reset_index(drop=True)
+    n_trunc = int((out["a"] < 0).sum())
+    out = out[out["a"] >= 0].reset_index(drop=True)
+    out.attrs["n_truncated_buckets"] = n_trunc
+    return out
 
 
 def _near_dupes_join(
@@ -339,8 +369,16 @@ def _near_dupes_join(
     def pairs_in_block(b: pa.Table) -> pa.Table:
         agg = b.group_by(["band_id", "band_hash"]).aggregate([("doc_id", "list")])
         out_a, out_b = [], []
-        for ids in agg["doc_id_list"].to_pylist():
-            u = sorted(set(ids))[:200]  # deterministic mega-bucket truncation
+        for band_id, band_hash, ids in zip(
+            agg["band_id"].to_pylist(),
+            agg["band_hash"].to_pylist(),
+            agg["doc_id_list"].to_pylist(),
+        ):
+            uniq = set(ids)
+            if len(uniq) > 200:  # counted truncation — sentinel per bucket
+                out_a.append(-1 - int(band_id))
+                out_b.append(int(band_hash))
+            u = sorted(uniq)[:200]  # deterministic mega-bucket truncation
             if len(u) < 2:
                 continue
             for i in range(len(u)):
@@ -355,14 +393,20 @@ def _near_dupes_join(
         )
 
     n_join = max(2, min(32, n_docs // 25_000 + 2))
-    pairs_ds = (
+    pairs_all = (
         bands_ds.repartition(num_blocks=n_blocks, keys=["band_id", "band_hash"])
         .map_batches(pairs_in_block, batch_format="pyarrow", batch_size=None)
-        # distributed dedup (a pair repeats once per agreeing band)
+        # distributed dedup (a pair repeats once per agreeing band); the
+        # sentinel rows are unique per truncated bucket so they survive
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="_c"))
         .drop_columns(["_c"])
+        .materialize()  # consumed twice: sentinel count + join input
     )
+    n_trunc = pairs_all.filter(expr="a < 0").count()
+    # sentinels must not reach the doc_id joins below (no doc has id < 0,
+    # an inner join would drop them silently — count them first instead)
+    pairs_ds = pairs_all.filter(expr="a >= 0")
 
     def shingles_of(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
@@ -409,7 +453,11 @@ def _near_dupes_join(
             }
         )
 
-    return j.map_batches(verify_batch, batch_format="pyarrow", batch_size=None).to_pandas()
+    out = j.map_batches(
+        verify_batch, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    out.attrs["n_truncated_buckets"] = int(n_trunc)
+    return out
 
 
 def near_dup_clusters(pairs: pd.DataFrame) -> pd.DataFrame:
@@ -565,8 +613,11 @@ def simhash_near_dupes(
             [(id_col, "list"), ("sig", "list")]
         )
         out_a, out_b, out_h = [], [], []
-        for ids, sigs in zip(
-            agg[f"{id_col}_list"].to_pylist(), agg["sig_list"].to_pylist()
+        for band_id, band_val, ids, sigs in zip(
+            agg["band_id"].to_pylist(),
+            agg["band_val"].to_pylist(),
+            agg[f"{id_col}_list"].to_pylist(),
+            agg["sig_list"].to_pylist(),
         ):
             if len(ids) < 2:
                 continue
@@ -576,7 +627,13 @@ def simhash_near_dupes(
             keep = np.concatenate([[True], u_ids[1:] != u_ids[:-1]])
             u_ids, u_sig = u_ids[keep], u_sig[keep]
             if len(u_ids) > max_bucket:
-                # deterministic truncation (smallest ids) — see docstring
+                # deterministic truncation (smallest ids) — see docstring.
+                # Counted, not silent: sentinel row per truncated bucket
+                # (a < 0 is impossible for a doc id; b = band value keeps
+                # sentinels unique per bucket across the pair dedup)
+                out_a.append(-1 - int(band_id))
+                out_b.append(int(band_val))
+                out_h.append(0)
                 u_ids, u_sig = u_ids[:max_bucket], u_sig[:max_bucket]
             m = len(u_ids)
             if m < 2:
@@ -608,11 +665,28 @@ def simhash_near_dupes(
         )
     finally:
         root_ctx.shuffle_strategy = prev_strategy
+    out = out.drop_duplicates(["a", "b"]).reset_index(drop=True)
+    n_trunc = int((out["a"] < 0).sum()) if len(out) else 0
+    if n_trunc:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "simhash_near_dupes: %d band bucket(s) exceeded max_bucket=%d "
+            "and were truncated; the pair list under-reports those "
+            "mega-dup clusters",
+            n_trunc,
+            max_bucket,
+        )
     if len(out) == 0:
-        return pd.DataFrame({"a": [], "b": [], "hamming": []})
-    return (
-        out.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
-    )
+        out = pd.DataFrame({"a": [], "b": [], "hamming": []})
+    else:
+        out = (
+            out[out["a"] >= 0]
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+    out.attrs["n_truncated_buckets"] = n_trunc
+    return out
 
 
 def dedup_against_prior(

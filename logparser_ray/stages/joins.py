@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # dims at or under this (estimated) size broadcast to every worker; above it
 # a per-worker copy is real memory pressure (VERDICT r02 #4: `customer` grows
@@ -129,7 +130,7 @@ def attach_dim(
     return fact.map_batches(lookup, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def asof_join(
+def asof_join_naive(
     left,
     right,
     *,
@@ -139,8 +140,11 @@ def asof_join(
     right_cols: list[str],
     suffix: str = "_r",
 ):
-    """Strict-backward as-of join of two Datasets; left rows with no prior
-    right row get nulls in the ``right_cols`` (renamed with ``suffix``)."""
+    """Reference implementation of the strict-backward as-of join: one
+    ``groupby(by).map_groups(pandas)`` — a whole key lands on one worker,
+    so it is the SKEW-UNSAFE shape. Kept only as the equality oracle for
+    ``asof_join`` (tests) and for tiny inputs; production paths use the
+    bucketed operator below."""
     l_tag = left.map_batches(
         lambda b: b.append_column("_side", pa.array(np.zeros(len(b), np.int8))),
         batch_format="pyarrow",
@@ -167,6 +171,182 @@ def asof_join(
         return res[~is_r].drop(columns=["_side"])
 
     return both.groupby(by).map_groups(per_key, batch_format="pandas")
+
+
+def asof_join(
+    left,
+    right,
+    *,
+    on: str,
+    by: str,
+    tiebreak: str,
+    right_cols: list[str],
+    suffix: str = "_r",
+    bucket_width: int | None = None,
+    n_rows: int | None = None,
+):
+    """Strict-backward as-of join of two Datasets, hot-key-safe; left rows
+    with no prior right row get nulls in the ``right_cols`` (renamed with
+    ``suffix``). Semantics identical to ``asof_join_naive``
+    (equality-tested): for every left row, the latest right row STRICTLY
+    before it in the unique ``(on, tiebreak)`` total order within ``by``.
+
+    VERDICT r03 #3 reroute: instead of shuffling whole keys to single
+    workers, phase 1 exchanges on ``(by, time_bucket(on))`` and resolves
+    every left row that has an in-bucket prior right row — one vectorized
+    running-maximum scan per block, no per-group Python. Only the
+    UNRESOLVED left rows (no in-bucket prior right) plus ONE carrier per
+    (by, bucket) — the bucket's last right row, the only right row a later
+    bucket can match — go through the second exchange keyed on ``by``.
+    There, every carrier is strictly before every row of later buckets, so
+    a plain forward-fill over the per-key sorted stream is exact (no shift:
+    an unresolved left's own bucket contributes no carrier before it, by
+    definition of unresolved). Phase-2 volume is bounded by
+    match-sparse left rows + one row per (by, bucket), not by key heat.
+    ``bucket_width`` is in raw ``on`` units (µs for timestamps); default
+    1 day for timestamps, 2³² otherwise.
+    """
+    from logparser_ray.stages.exchange import hash_shuffle
+    from logparser_ray.stages.windows import _exchange_blocks
+
+    n_blocks = _exchange_blocks(n_rows)
+    n_blocks2 = max(2, n_blocks // 4)
+    r_keep = list(dict.fromkeys([by, on, tiebreak] + list(right_cols)))
+    out_suffixed = [f"{c}{suffix}" for c in right_cols]
+
+    l_tag = left.map_batches(
+        lambda b: b.append_column("_side", pa.array(np.zeros(len(b), np.int8))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    r_tag = right.select_columns(r_keep).map_batches(
+        lambda b: b.append_column("_side", pa.array(np.ones(len(b), np.int8))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    both = l_tag.union(r_tag)
+
+    if bucket_width is None:
+        on_type = dict(zip(left.schema().names, left.schema().types))[on]
+        bucket_width = (
+            86_400 * 1_000_000 if pa.types.is_timestamp(on_type) else 1 << 32
+        )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        v = pc.cast(b[on].combine_chunks(), pa.int64()).to_numpy()
+        return b.append_column("_bucket", pa.array(v // bucket_width))
+
+    def resolve_local(b: pa.Table) -> pa.Table:
+        """Sort one (by, bucket)-complete block; emit every row tagged
+        ``_fix``: 0 = resolved left, 1 = unresolved left, 2 = carrier."""
+        if b.num_rows == 0:
+            sch = b.schema
+            for c, oc in zip(right_cols, out_suffixed):
+                sch = sch.append(pa.field(oc, b.schema.field(c).type))
+            sch = sch.append(pa.field("_fix", pa.int8()))
+            return sch.empty_table()
+        t = b.take(
+            pc.sort_indices(
+                b,
+                sort_keys=[
+                    (by, "ascending"),
+                    ("_bucket", "ascending"),
+                    (on, "ascending"),
+                    (tiebreak, "ascending"),
+                ],
+            )
+        )
+        n = t.num_rows
+        kn = t[by].combine_chunks().to_numpy(zero_copy_only=False)
+        bk = t["_bucket"].combine_chunks().to_numpy()
+        is_r = t["_side"].combine_chunks().to_numpy().astype(bool)
+        new_grp = np.ones(n, dtype=bool)
+        new_grp[1:] = (kn[1:] != kn[:-1]) | (bk[1:] != bk[:-1])
+        grp_id = np.cumsum(new_grp) - 1
+        grp_first = np.flatnonzero(new_grp)
+        idx = np.arange(n)
+        # running max index of right rows, reset per group: subtracting a
+        # huge per-group offset keeps the accumulate monotone within groups
+        barrier = grp_first[grp_id].astype(np.int64) * (n + 1)
+        run = np.maximum.accumulate(np.where(is_r, idx + barrier, -1))
+        last_r_at = run - barrier  # ≥ group_first iff an in-group right ≤ i
+        # strictly-before = state at the previous row of the same group
+        prev_last = np.full(n, -1, dtype=np.int64)
+        prev_last[1:] = last_r_at[:-1]
+        prev_last[new_grp] = -1
+        resolved = (~is_r) & (prev_last >= grp_first[grp_id])
+        match_np = np.where(resolved, prev_last, 0)
+        valid = pa.array(resolved)
+        for c, oc in zip(right_cols, out_suffixed):
+            vals = t[c].combine_chunks().take(pa.array(match_np))
+            # null out unresolved positions
+            vals = pc.if_else(valid, vals, pa.scalar(None, type=vals.type))
+            t = t.append_column(oc, vals)
+        # carrier = each group's LAST right row: the right row the group-end
+        # running maximum points at
+        grp_end = np.append(grp_first[1:] - 1, n - 1)
+        grp_last_r = is_r & (last_r_at[grp_end[grp_id]] == idx)
+        fix = np.full(n, -1, dtype=np.int8)
+        fix[resolved] = 0
+        fix[(~is_r) & ~resolved] = 1
+        fix[grp_last_r] = 2
+        t = t.append_column("_fix", pa.array(fix))
+        return t.filter(pc.greater_equal(t["_fix"], 0))
+
+    def fix_stream(b: pa.Table) -> pa.Table:
+        """Per-key sorted stream of unresolved lefts + carriers: forward-
+        fill carrier values onto the lefts (carriers are strictly before —
+        see the operator docstring)."""
+        if b.num_rows == 0:
+            return b
+        t = b.take(
+            pc.sort_indices(
+                b,
+                sort_keys=[
+                    (by, "ascending"),
+                    (on, "ascending"),
+                    (tiebreak, "ascending"),
+                ],
+            )
+        )
+        n = t.num_rows
+        kn = t[by].combine_chunks().to_numpy(zero_copy_only=False)
+        is_c = t["_fix"].combine_chunks().to_numpy() == 2
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = kn[1:] != kn[:-1]
+        key_first = np.flatnonzero(new_key)
+        key_id = np.cumsum(new_key) - 1
+        idx = np.arange(n)
+        barrier = key_first[key_id].astype(np.int64) * (n + 1)
+        run = np.maximum.accumulate(np.where(is_c, idx + barrier, -1))
+        last_c = run - barrier
+        ok = last_c >= key_first[key_id]
+        take_np = np.where(ok, last_c, 0)
+        valid = pa.array(ok & ~is_c)
+        for c, oc in zip(right_cols, out_suffixed):
+            vals = t[c].combine_chunks().take(pa.array(take_np))
+            vals = pc.if_else(valid, vals, pa.scalar(None, type=vals.type))
+            col_i = t.schema.get_field_index(oc)
+            t = t.set_column(col_i, oc, vals)
+        return t.filter(pc.equal(t["_fix"], 1))
+
+    drop_internal = ["_side", "_bucket", "_fix"]
+    with hash_shuffle(both):
+        tagged = (
+            both.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+            .repartition(num_blocks=n_blocks, keys=[by, "_bucket"])
+            .map_batches(resolve_local, batch_format="pyarrow", zero_copy_batch=True)
+            # plan forks (resolved vs fix stream): pin the exchange once
+            .materialize()
+        )
+        resolved = tagged.filter(expr="_fix == 0").drop_columns(drop_internal)
+        fixed = (
+            tagged.filter(expr="_fix > 0")
+            .repartition(num_blocks=n_blocks2, keys=[by])
+            .map_batches(fix_stream, batch_format="pyarrow", zero_copy_batch=True)
+            .drop_columns(drop_internal)
+        )
+        return resolved.union(fixed).materialize()
 
 
 def interval_join(

@@ -396,25 +396,12 @@ def _with_ntok(ds, text_col: str):
     )
 
 
-def iplom_fit(
-    ds, *, text_col: str = "text", ct: float = 0.35, lower_bound: float = 0.25
-) -> PatternBank:
-    """Fully distributed IPLoM: step 1 (token count) AND step 2 (lowest-
-    cardinality position split) are both shuffle keys.
-
-    The split position per token count is chosen by a distributed
-    cardinality pass (distinct (ntok, pos, tok) → count per (ntok, pos) —
-    the tiny result drives the key choice on the driver, identical to the
-    in-memory ``_split_lowest_cardinality`` choice). The main shuffle then
-    groups by ``(n_tokens, token@split_pos)`` — each group is one STEP-2
-    PARTITION, so no whole token-count group ever materializes on a single
-    worker (r1 skew bound); steps 3–4 run per partition, and identical
-    templates from different partitions collapse in a final tiny groupby.
-    Remaining bound: one (n_tokens, split-token) partition per worker.
-    """
+def _iplom_split_pos(ds, text_col: str) -> dict[int, int]:
+    """Steps 1–2 key choice, distributed: per token count, the position
+    with the fewest distinct tokens among positions with >1 (ties → lowest
+    position); -1 when every position is constant. Only the tiny
+    (n_tokens, pos, cardinality) summary reaches the driver."""
     from ray.data.aggregate import Count
-
-    from logparser_ray.core.iplom import _split_bijection, _template_of
 
     def pos_token_counts(batch: pa.Table) -> pa.Table:
         toks = _token_lists(batch, text_col)
@@ -456,6 +443,11 @@ def iplom_fit(
             split_pos[int(ntok_val)] = int(best["pos"])
         else:
             split_pos[int(ntok_val)] = -1  # all-constant group: no split
+    return split_pos
+
+
+def _iplom_add_keys(split_pos: dict[int, int], text_col: str):
+    """Batch fn appending the step-2 partition key ``(n_tokens, skey)``."""
 
     def add_keys(batch: pa.Table) -> pa.Table:
         toks = _token_lists(batch, text_col)
@@ -475,6 +467,30 @@ def iplom_fit(
                 "skey": pa.array(key.astype(object), pa.string()),
             }
         )
+
+    return add_keys
+
+
+def iplom_fit(
+    ds, *, text_col: str = "text", ct: float = 0.35, lower_bound: float = 0.25
+) -> PatternBank:
+    """Fully distributed IPLoM: step 1 (token count) AND step 2 (lowest-
+    cardinality position split) are both shuffle keys.
+
+    The split position per token count is chosen by a distributed
+    cardinality pass (distinct (ntok, pos, tok) → count per (ntok, pos) —
+    the tiny result drives the key choice on the driver, identical to the
+    in-memory ``_split_lowest_cardinality`` choice). The main shuffle then
+    groups by ``(n_tokens, token@split_pos)`` — each group is one STEP-2
+    PARTITION, so no whole token-count group ever materializes on a single
+    worker (r1 skew bound); steps 3–4 run per partition, and identical
+    templates from different partitions collapse in a final tiny groupby.
+    Remaining bound: one (n_tokens, split-token) partition per worker.
+    """
+    from logparser_ray.core.iplom import _split_bijection, _template_of
+
+    split_pos = _iplom_split_pos(ds, text_col)
+    add_keys = _iplom_add_keys(split_pos, text_col)
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         seqs = [t.split(" ") for t in g[text_col]]
@@ -502,21 +518,105 @@ def iplom_fit(
     return _bank_from_counts(out)
 
 
-def ael_fit(ds, *, text_col: str = "text", merge_pct: float = 0.1) -> PatternBank:
-    """Bin by (n_tokens, n_dynamic) → abstract → reconcile per bin.
+def iplom_leaves(ds, *, text_col: str = "text") -> "pd.DataFrame":
+    """SQL-oracle-able projection of the IPLoM pipeline: steps 1–2 exactly
+    as ``iplom_fit`` (distributed lowest-cardinality split-position choice,
+    same tie-breaking), then the step-4 leaf templatize — a position is
+    constant iff it carries exactly ONE distinct token in the partition —
+    applied directly to each ``(n_tokens, split-token)`` partition. Step-3
+    bijection is deliberately OFF: every remaining stage is deterministic
+    groupby + string logic DuckDB reproduces over the raw table, which is
+    what lets the driver hash-pin SURVEY A2 semantics independently (the
+    bijection path stays pinned by pytest and the miner-conformance
+    harness — it is order-insensitive but not SQL-expressible).
 
-    Categorize + abstract are ONE vectorized pass: dynamic tokens
-    (digit/``=`` heuristic, ``core.ael.is_dynamic``) wildcard via a single
-    ``match_substring_regex`` over the flat token stream, skeletons rebuild
-    with ``binary_join``, and the bin structure collapses into a
-    ``groupby(n_tokens, n_dyn, skeleton).count`` — no per-row Python and no
-    per-bin pandas materialization (the r1 version looped ``bin_key`` over
-    every row and held each bin in one worker's frame). Reconcile (step 3)
-    stays driver-side over the tiny template set, applied PER BIN (paper
-    semantics — cross-bin merging collapsed sibling templates of unequal
-    n_dyn) and fed in a deterministic (n_tokens, n_dyn, −count, skeleton)
-    order.
+    Fully distributed until the per-(leaf, position) summary, which is
+    template-space-scale (leaves × positions, NOT corpus-scale) and is the
+    only thing the driver assembles. Returns a pandas DataFrame
+    ``(n_tokens, skey, template, n)`` — one row per step-2 partition.
     """
+    from ray.data.aggregate import Count, Min
+
+    split_pos = _iplom_split_pos(ds, text_col)
+
+    keyed = ds.select_columns([text_col]).map_batches(
+        _iplom_add_keys(split_pos, text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def explode_positions(batch: pa.Table) -> pa.Table:
+        toks = _token_lists(batch, text_col)
+        offsets = np.asarray(toks.offsets)
+        lengths = offsets[1:] - offsets[:-1]
+        flat = toks.flatten()
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(offsets[:-1], lengths)
+        t = pa.table(
+            {
+                "n_tokens": pa.array(
+                    np.repeat(lengths.astype(np.int64), lengths)
+                ),
+                "skey": pa.array(
+                    np.repeat(
+                        batch["skey"].to_numpy(zero_copy_only=False), lengths
+                    ),
+                    pa.string(),
+                ),
+                "pos": pa.array(pos),
+                "tok": flat,
+            }
+        )
+        # per-batch distinct shrinks the exchange to near-vocab scale
+        return t.group_by(["n_tokens", "skey", "pos", "tok"]).aggregate([])
+
+    distinct = (
+        keyed.map_batches(
+            explode_positions, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["n_tokens", "skey", "pos", "tok"])
+        .aggregate(Count(alias_name="_dup"))
+        .drop_columns(["_dup"])
+    )
+    per_pos = (
+        distinct.groupby(["n_tokens", "skey", "pos"])
+        .aggregate(Count(alias_name="card"), Min("tok", alias_name="tok_min"))
+        .to_pandas()  # leaves × positions — template-space, tiny
+        .sort_values(["n_tokens", "skey", "pos"])
+    )
+    per_pos["ptok"] = np.where(per_pos["card"] == 1, per_pos["tok_min"], WILDCARD)
+    tpl = (
+        per_pos.groupby(["n_tokens", "skey"], sort=True)["ptok"]
+        .agg(" ".join)
+        .rename("template")
+        .reset_index()
+    )
+    leaf_n = (
+        keyed.map_batches(
+            lambda b: b.group_by(["n_tokens", "skey"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["n_tokens", "skey", "n"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["n_tokens", "skey"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    leaf_n["n_tokens"] = leaf_n["n_tokens"].astype(np.int64)
+    tpl["n_tokens"] = tpl["n_tokens"].astype(np.int64)
+    out = tpl.merge(leaf_n, on=["n_tokens", "skey"])
+    return out.sort_values(["n_tokens", "skey"]).reset_index(drop=True)
+
+
+def ael_abstract_counts(ds, *, text_col: str = "text") -> pd.DataFrame:
+    """AEL steps 1–2 (categorize + abstract), distributed and deterministic:
+    one vectorized skeleton pass + ``groupby(n_tokens, n_dyn, skeleton)``
+    count. This is the SQL-oracle-able projection of AEL (the driver
+    hash-pins it against a DuckDB reproduction over the raw table); the
+    order-dependent greedy reconcile (step 3) consumes this output in
+    ``ael_fit`` and stays pinned by pytest + the conformance harness.
+    Returns a template-space pandas DataFrame sorted the way reconcile
+    consumes it: ``(n_tokens, n_dyn, -n, skeleton)``."""
 
     def skeletons(batch: pa.Table) -> pa.Table:
         toks = _token_lists(batch, text_col)
@@ -541,7 +641,7 @@ def ael_fit(ds, *, text_col: str = "text", merge_pct: float = 0.1) -> PatternBan
         )
         return agg.rename_columns(["n_tokens", "n_dyn", "skeleton", "n"])
 
-    counts = (
+    return (
         ds.select_columns([text_col])
         .map_batches(skeletons, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["n_tokens", "n_dyn", "skeleton"])
@@ -552,6 +652,25 @@ def ael_fit(ds, *, text_col: str = "text", merge_pct: float = 0.1) -> PatternBan
             ascending=[True, True, False, True],
         )
     )
+
+
+def ael_fit(ds, *, text_col: str = "text", merge_pct: float = 0.1) -> PatternBank:
+    """Bin by (n_tokens, n_dynamic) → abstract → reconcile per bin.
+
+    Categorize + abstract are ONE vectorized pass: dynamic tokens
+    (digit/``=`` heuristic, ``core.ael.is_dynamic``) wildcard via a single
+    ``match_substring_regex`` over the flat token stream, skeletons rebuild
+    with ``binary_join``, and the bin structure collapses into a
+    ``groupby(n_tokens, n_dyn, skeleton).count`` — no per-row Python and no
+    per-bin pandas materialization (the r1 version looped ``bin_key`` over
+    every row and held each bin in one worker's frame). Reconcile (step 3)
+    stays driver-side over the tiny template set, applied PER BIN (paper
+    semantics — cross-bin merging collapsed sibling templates of unequal
+    n_dyn) and fed in a deterministic (n_tokens, n_dyn, −count, skeleton)
+    order.
+    """
+
+    counts = ael_abstract_counts(ds, text_col=text_col)
     merged: list[tuple[list[str], int]] = []
     for _bin, grp in counts.groupby(["n_tokens", "n_dyn"], sort=False):
         merged.extend(

@@ -19,6 +19,15 @@ state = n_blocks integers. Input must already be ordered by ``id_col``
 across blocks (a parquet corpus written in id order qualifies); the
 per-block (min, max) ranges are checked and a disordered input raises
 rather than mis-packs.
+
+Materialization note (VERDICT r03): ``to_arrow_refs()`` executes the input
+lineage and PINS its blocks in the object store for the scan's two touches
+— object-store-resident (spillable), never driver-resident. In the default
+``tok_col=None`` mode the pinned projection is pruned to ``(id_col,
+text_col)`` → ``(id_col, n_tok)`` before the scan, so wide inputs don't
+inflate the pin. In ``tok_col`` mode every column rides through BY DESIGN
+(the packed corpus must carry its payload columns to the sink), so the pin
+is the full row set — size the object store (or write/re-read) accordingly.
 """
 
 from __future__ import annotations

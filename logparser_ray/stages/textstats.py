@@ -83,7 +83,12 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         pc.count_substring_regex(texts, r"[^\w\s]"), dtype=np.int64
     )
     punct_ratio = n_punct / np.maximum(n_chars, 1)
+    # integer half-up basis points of the stop ratio: exact int64, so
+    # distributed partial sums are order-independent and SQL-reproducible
+    # ((n_stop*20000 + denom) // (2*denom) == round_half_up(ratio * 1e4))
+    stop_bp = (n_stop * 20000 + denom) // (2 * denom)
     out = batch.append_column("n_tok", pa.array(n_tok))
+    out = out.append_column("stop_bp", pa.array(stop_bp.astype(np.int64)))
     out = out.append_column("stop_ratio", pa.array(np.round(stop_ratio, 4)))
     out = out.append_column("mean_tok_len", pa.array(np.round(mean_tok_len, 4)))
     out = out.append_column("punct_ratio", pa.array(np.round(punct_ratio, 4)))

@@ -24,6 +24,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from logparser_ray.stages.exchange import hash_shuffle
+
 
 def _exchange_blocks(n_rows: int | None) -> int:
     """Keyed-exchange block count: CPU-bound by default, but capped by input
@@ -68,7 +70,6 @@ def lag_lead_bucketed(
     every input (equality-tested against the naive operator).
     """
     import ray
-    from ray.data.context import ShuffleStrategy
 
     n_blocks = _exchange_blocks(n_rows)
     n_blocks2 = max(2, n_blocks // 4)
@@ -183,9 +184,7 @@ def lag_lead_bucketed(
             }
         ).select(out_cols)
 
-    prev_strategy = ds.context.shuffle_strategy
-    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    try:
+    with hash_shuffle(ds):
         tagged = (
             ds.select_columns([user_col, ts_col, id_col])
             .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
@@ -207,8 +206,6 @@ def lag_lead_bucketed(
             .map_batches(fix_edges, batch_format="pyarrow", zero_copy_batch=True)
         )
         return interior.union(edges).materialize()
-    finally:
-        ds.context.shuffle_strategy = prev_strategy
 
 
 def sessionize_bucketed(
@@ -241,7 +238,6 @@ def sessionize_bucketed(
     box. The phase-2 exchange moves only the tiny per-(user, bucket)
     partials, so it gets a quarter of the blocks."""
     import ray
-    from ray.data.context import ShuffleStrategy
 
     gap_us = int(gap_s * 1_000_000)
     n_blocks = _exchange_blocks(n_rows)
@@ -351,14 +347,319 @@ def sessionize_bucketed(
     # execute the WHOLE two-exchange plan, restore (same guard discipline as
     # route_repartition, which materializes per-exchange and is the right
     # shape when callers need the exchanged dataset itself)
-    prev_strategy = ds.context.shuffle_strategy
-    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    try:
+    with hash_shuffle(ds):
         return (
             _lazy_partials(ds)
             .repartition(num_blocks=n_blocks2, keys=[user_col])
             .map_batches(merge_users, batch_format="pyarrow", zero_copy_batch=True)
             .materialize()
         )
-    finally:
-        ds.context.shuffle_strategy = prev_strategy
+
+
+def avg_gap_bucketed(
+    ds,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    bucket_s: int = 86_400,
+    n_rows: int | None = None,
+):
+    """Per-user gap statistics — count and floored-seconds sum of gaps
+    between consecutive events in ``(ts, id)`` order — hot-key-safe.
+    Returns a Dataset ``(user_col, n_gaps, sum_gap_s)`` equal to SQL's
+    ``count(gap), sum(floor(epoch(ts - lag(ts) OVER w)))`` per user.
+
+    Same decomposition as ``sessionize_bucketed`` (VERDICT r03 #2: this
+    operator previously ran per-user ``map_groups(pandas)``, the exact
+    skew/per-group-Python anti-pattern the repo eliminated from
+    sessionize): phase 1 shuffles on ``(user, time_bucket)`` and sums
+    intra-bucket gaps vectorized; phase 2 merges the tiny per-bucket
+    partial rows per user, adding ONE boundary gap per consecutive pair of
+    present buckets (the gap between the previous bucket's last event and
+    the next present bucket's first — floored independently, matching the
+    per-gap floor-then-sum rule). Worker memory is bounded by one
+    (user, bucket) slice regardless of how hot the user is.
+    """
+    n_blocks = _exchange_blocks(n_rows)
+    n_blocks2 = max(2, n_blocks // 4)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ep = pc.cast(b[ts_col].combine_chunks(), pa.int64()).to_numpy()  # µs
+        return b.append_column("_bucket", pa.array(ep // (bucket_s * 1_000_000)))
+
+    def bucket_partials(b: pa.Table) -> pa.Table:
+        u_type = b.schema.field(user_col).type
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    user_col: pa.array([], u_type),
+                    "_bucket": pa.array([], pa.int64()),
+                    "n_gaps": pa.array([], pa.int64()),
+                    "sum_gap_s": pa.array([], pa.int64()),
+                    "_first_us": pa.array([], pa.int64()),
+                    "_last_us": pa.array([], pa.int64()),
+                }
+            )
+        t = b.take(
+            pc.sort_indices(
+                b,
+                sort_keys=[
+                    (user_col, "ascending"),
+                    ("_bucket", "ascending"),
+                    (ts_col, "ascending"),
+                    (id_col, "ascending"),
+                ],
+            )
+        )
+        u = t[user_col].combine_chunks()
+        un = u.to_numpy(zero_copy_only=False)
+        bk = t["_bucket"].combine_chunks().to_numpy()
+        ts = pc.cast(t[ts_col].combine_chunks(), pa.int64()).to_numpy()
+        n = len(un)
+        new_grp = np.ones(n, dtype=bool)
+        new_grp[1:] = (un[1:] != un[:-1]) | (bk[1:] != bk[:-1])
+        # per-gap floor BEFORE summing (µs → whole seconds), identical to
+        # the SQL side — summing µs then flooring drifts by the fractions
+        gap_s = np.zeros(n, dtype=np.int64)
+        gap_s[1:] = (ts[1:] - ts[:-1]) // 1_000_000
+        gap_s[new_grp] = 0
+        is_gap = (~new_grp).astype(np.int64)
+        first = np.flatnonzero(new_grp)
+        last = np.append(first[1:] - 1, n - 1)
+        return pa.table(
+            {
+                user_col: u.take(pa.array(first)),
+                "_bucket": pa.array(bk[first]),
+                "n_gaps": pa.array(np.add.reduceat(is_gap, first)),
+                "sum_gap_s": pa.array(np.add.reduceat(gap_s, first)),
+                "_first_us": pa.array(ts[first]),
+                "_last_us": pa.array(ts[last]),
+            }
+        )
+
+    def merge_users(b: pa.Table) -> pa.Table:
+        u_type = b.schema.field(user_col).type
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    user_col: pa.array([], u_type),
+                    "n_gaps": pa.array([], pa.int64()),
+                    "sum_gap_s": pa.array([], pa.int64()),
+                }
+            )
+        t = b.take(
+            pc.sort_indices(
+                b,
+                sort_keys=[(user_col, "ascending"), ("_bucket", "ascending")],
+            )
+        )
+        u = t[user_col].combine_chunks()
+        un = u.to_numpy(zero_copy_only=False)
+        ng = t["n_gaps"].combine_chunks().to_numpy()
+        sg = t["sum_gap_s"].combine_chunks().to_numpy()
+        first_us = t["_first_us"].combine_chunks().to_numpy()
+        last_us = t["_last_us"].combine_chunks().to_numpy()
+        n = len(un)
+        new_u = np.ones(n, dtype=bool)
+        new_u[1:] = un[1:] != un[:-1]
+        grp_first = np.flatnonzero(new_u)
+        # one boundary gap per consecutive pair of present buckets of the
+        # same user, floored independently like every intra-bucket gap
+        bnd_gap = np.zeros(n, dtype=np.int64)
+        bnd_cnt = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            cont = ~new_u[1:]
+            bnd_gap[1:][cont] = (first_us[1:] - last_us[:-1])[cont] // 1_000_000
+            bnd_cnt[1:] = cont.astype(np.int64)
+        return pa.table(
+            {
+                user_col: u.take(pa.array(grp_first)),
+                "n_gaps": pa.array(
+                    np.add.reduceat(ng + bnd_cnt, grp_first)
+                ),
+                "sum_gap_s": pa.array(
+                    np.add.reduceat(sg + bnd_gap, grp_first)
+                ),
+            }
+        )
+
+    with hash_shuffle(ds):
+        return (
+            ds.select_columns([user_col, ts_col, id_col])
+            .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+            .repartition(num_blocks=n_blocks, keys=[user_col, "_bucket"])
+            .map_batches(
+                bucket_partials, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .repartition(num_blocks=n_blocks2, keys=[user_col])
+            .map_batches(merge_users, batch_format="pyarrow", zero_copy_batch=True)
+            .materialize()
+        )
+
+
+def rolling_sum_bucketed(
+    ds,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    window: int = 3,
+    bucket_s: int = 86_400,
+    n_rows: int | None = None,
+):
+    """Per-event rolling sum of value cents over the current + ``window-1``
+    preceding events in ``(ts, id)`` order per user, hot-key-safe. Returns
+    ``(id_col, roll{window}_cents)`` — SQL's ``sum(cents) OVER (PARTITION
+    BY user ORDER BY ts, id ROWS BETWEEN window-1 PRECEDING AND CURRENT
+    ROW)`` with ``min_periods=1`` semantics.
+
+    Same ``(user, time_bucket)`` decomposition as ``lag_lead_bucketed``:
+    phase 1 resolves every row whose full window lies inside its bucket
+    (in-group position ≥ window-1); the per-bucket EDGE rows (first
+    ``window-1`` of each bucket) plus CARRIER rows (last ``window-1`` —
+    the only rows a later bucket's window can reach) go through a second
+    tiny exchange keyed on user alone. In the per-user sorted stream of
+    edges+carriers every global predecessor within ``window-1`` of an edge
+    row is present and stream-adjacent (any row between two stream rows in
+    global order would itself be within the window, hence a stream row),
+    so one vectorized shifted-sum over the stream is exact. Per-bucket
+    phase-2 volume is ≤ 2·(window-1) rows however hot the user.
+    """
+    n_blocks = _exchange_blocks(n_rows)
+    n_blocks2 = max(2, n_blocks // 4)
+    w = int(window)
+    out_col = f"roll{w}_cents"
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ep = pc.cast(b[ts_col].combine_chunks(), pa.int64()).to_numpy()  # µs
+        return b.append_column("_bucket", pa.array(ep // (bucket_s * 1_000_000)))
+
+    def local_roll(b: pa.Table) -> pa.Table:
+        id_type = b.schema.field(id_col).type
+        u_type = b.schema.field(user_col).type
+        empty = pa.table(
+            {
+                id_col: pa.array([], id_type),
+                out_col: pa.array([], pa.int64()),
+                user_col: pa.array([], u_type),
+                "_ts": pa.array([], pa.int64()),
+                "_cents": pa.array([], pa.int64()),
+                "_edge": pa.array([], pa.int8()),
+            }
+        )
+        empty_interior = pa.table(
+            {id_col: pa.array([], id_type), out_col: pa.array([], pa.int64())}
+        )
+        if b.num_rows == 0:
+            return empty, empty_interior
+        t = b.take(
+            pc.sort_indices(
+                b,
+                sort_keys=[
+                    (user_col, "ascending"),
+                    ("_bucket", "ascending"),
+                    (ts_col, "ascending"),
+                    (id_col, "ascending"),
+                ],
+            )
+        )
+        n = t.num_rows
+        un = t[user_col].combine_chunks().to_numpy(zero_copy_only=False)
+        bk = t["_bucket"].combine_chunks().to_numpy()
+        ts = pc.cast(t[ts_col].combine_chunks(), pa.int64()).to_numpy()
+        cents = np.floor(
+            t[value_col].combine_chunks().to_numpy(zero_copy_only=False) * 100
+            + 0.5
+        ).astype(np.int64)
+        new_grp = np.ones(n, dtype=bool)
+        new_grp[1:] = (un[1:] != un[:-1]) | (bk[1:] != bk[:-1])
+        first = np.flatnonzero(new_grp)
+        counts = np.diff(np.append(first, n))
+        pos = np.arange(n) - np.repeat(first, counts)  # in-group position
+        size = np.repeat(counts, counts)
+        roll = cents.copy()
+        for j in range(1, w):
+            # j-back predecessor contributes where it exists in-group
+            ok = pos >= j
+            roll[ok] += cents[np.flatnonzero(ok) - j]
+        is_edge = pos < (w - 1)
+        is_carrier = pos >= (size - (w - 1))
+        keep = is_edge | is_carrier
+        return pa.table(
+            {
+                id_col: t[id_col].combine_chunks().filter(pa.array(keep)),
+                out_col: pa.array(roll[keep]),
+                user_col: t[user_col].combine_chunks().filter(pa.array(keep)),
+                "_ts": pa.array(ts[keep]),
+                "_cents": pa.array(cents[keep]),
+                "_edge": pa.array(is_edge[keep].astype(np.int8)),
+            }
+        ), pa.table(
+            {
+                id_col: t[id_col].combine_chunks().filter(pa.array(~is_edge)),
+                out_col: pa.array(roll[~is_edge]),
+            }
+        )
+
+    def local_split(b: pa.Table) -> pa.Table:
+        stream, _ = local_roll(b)
+        return stream
+
+    def local_interior(b: pa.Table) -> pa.Table:
+        _, interior = local_roll(b)
+        return interior
+
+    def fix_edges(b: pa.Table) -> pa.Table:
+        id_type = b.schema.field(id_col).type
+        if b.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], id_type), out_col: pa.array([], pa.int64())}
+            )
+        t = b.take(
+            pc.sort_indices(
+                b,
+                sort_keys=[
+                    (user_col, "ascending"),
+                    ("_ts", "ascending"),
+                    (id_col, "ascending"),
+                ],
+            )
+        )
+        n = t.num_rows
+        un = t[user_col].combine_chunks().to_numpy(zero_copy_only=False)
+        cents = t["_cents"].combine_chunks().to_numpy()
+        edge = t["_edge"].combine_chunks().to_numpy().astype(bool)
+        roll = cents.copy()
+        for j in range(1, w):
+            idx = np.arange(j, n)
+            same = un[idx] == un[idx - j]
+            roll[idx[same]] += cents[idx - j][same]
+        return pa.table(
+            {
+                id_col: t[id_col].combine_chunks().filter(pa.array(edge)),
+                out_col: pa.array(roll[edge]),
+            }
+        )
+
+    with hash_shuffle(ds):
+        tagged = (
+            ds.select_columns([user_col, ts_col, id_col, value_col])
+            .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+            .repartition(num_blocks=n_blocks, keys=[user_col, "_bucket"])
+        )
+        # the plan forks (interior vs stream): pin the exchanged blocks once
+        # so both branches reuse them instead of re-running the exchange
+        pinned = tagged.materialize()
+        interior = pinned.map_batches(
+            local_interior, batch_format="pyarrow", zero_copy_batch=True
+        )
+        edges = (
+            pinned.map_batches(
+                local_split, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .repartition(num_blocks=n_blocks2, keys=[user_col])
+            .map_batches(fix_edges, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        return interior.union(edges).materialize()

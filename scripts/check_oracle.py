@@ -46,6 +46,14 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
         return f"SCHEMA MISMATCH ray={list(a.columns)} sql={list(b.columns)}"
     if len(a) != len(b):
         return f"ROWCOUNT MISMATCH ray={len(a)} sql={len(b)}"
+    # dtype *kind* must agree too: the driver hashes exact values, so an
+    # int64 engine column vs a float64 oracle column (e.g. DuckDB HUGEINT
+    # windowed sums) hash-fails even when every value is numerically equal.
+    # pandas == coerces int vs float, which masked exactly that in round 3.
+    for c in a.columns:
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        if ka != kb and {ka, kb} <= {"i", "u", "f"} and "f" in {ka, kb}:
+            return f"DTYPE MISMATCH col={c} ray={a[c].dtype} sql={b[c].dtype}"
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if np.issubdtype(a[c].dtype, np.floating):

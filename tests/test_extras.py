@@ -839,3 +839,158 @@ def test_unigram_xent_block_layout_independent(ray_session):
             unigram_xent(ds).to_pandas().sort_values("doc_id")["xent_bp"].tolist()
         )
     assert outs[0] == outs[1]
+
+
+def test_avg_gap_bucketed_equals_naive(ray_session):
+    """The hot-key-safe (user, time-bucket) gap statistics must equal a
+    plain pandas per-user scan exactly — including boundary gaps between
+    present buckets separated by EMPTY buckets (the merge adds one gap per
+    consecutive pair of PRESENT buckets, floored independently)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from logparser_ray.stages.windows import avg_gap_bucketed
+
+    sf = "/root/testdata/sf0.01"
+    ev = (
+        pq.read_table(sf + "/events.parquet", columns=["user_id", "ts", "event_id"])
+        .to_pandas()
+        .sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    )
+    gaps = np.floor(
+        ev.groupby("user_id", sort=True)["ts"].diff().dt.total_seconds()
+    )
+    naive = (
+        pd.DataFrame({"user_id": ev["user_id"], "gap": gaps})
+        .groupby("user_id", sort=True)
+        .agg(n_gaps=("gap", "count"), sum_gap_s=("gap", "sum"))
+        .astype({"n_gaps": "int64", "sum_gap_s": "int64"})
+        .reset_index()
+    )
+    ds = ray.data.read_parquet(
+        sf + "/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    # 1h buckets force many boundary gaps; 1d covers the coarse regime
+    for bucket_s in (3600, 86_400):
+        got = (
+            avg_gap_bucketed(ds, bucket_s=bucket_s)
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(naive), bucket_s
+        assert (got["user_id"].to_numpy() == naive["user_id"].to_numpy()).all()
+        assert (got["n_gaps"].to_numpy() == naive["n_gaps"].to_numpy()).all()
+        assert (
+            got["sum_gap_s"].to_numpy() == naive["sum_gap_s"].to_numpy()
+        ).all(), bucket_s
+
+
+def test_rolling_sum_bucketed_equals_naive(ray_session):
+    """The bucketed rolling sum must equal pandas' per-user rolling window
+    exactly, including windows spanning SEVERAL tiny buckets (bucket span
+    smaller than the window, so every row is both edge and carrier)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from logparser_ray.stages.windows import rolling_sum_bucketed
+
+    sf = "/root/testdata/sf0.01"
+    cols = ["user_id", "ts", "event_id", "value"]
+    ev = (
+        pq.read_table(sf + "/events.parquet", columns=cols)
+        .to_pandas()
+        .sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    )
+    cents = np.floor(ev["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    ds = ray.data.read_parquet(sf + "/events.parquet", columns=cols)
+    for w, bucket_s in ((3, 3600), (3, 86_400), (4, 600)):
+        roll = (
+            pd.Series(cents)
+            .groupby(ev["user_id"].to_numpy())
+            .rolling(window=w, min_periods=1)
+            .sum()
+            .astype(np.int64)
+            .to_numpy()
+        )
+        naive = pd.DataFrame(
+            {"event_id": ev["event_id"].to_numpy(), "want": roll}
+        )
+        got = rolling_sum_bucketed(ds, window=w, bucket_s=bucket_s).to_pandas()
+        m = naive.merge(got, on="event_id")
+        assert len(m) == len(ev) == len(got), (w, bucket_s)
+        assert (m["want"] == m[f"roll{w}_cents"]).all(), (w, bucket_s)
+
+
+def test_asof_join_bucketed_equals_naive(ray_session):
+    """The two-phase bucketed as-of join must equal the per-key reference
+    implementation exactly — at a bucket width small enough that most
+    matches cross bucket boundaries (carrier handoff), and at the default
+    width. Includes duplicate timestamps (tiebreak order) via the fixture
+    events table."""
+    import ray
+
+    from logparser_ray.stages.joins import asof_join, asof_join_naive
+
+    sf = "/root/testdata/sf0.01"
+    ev = ray.data.read_parquet(
+        sf + "/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    clicks = ev.filter(expr="event_type == 'click'").drop_columns(["event_type"])
+    kw = dict(
+        on="ts", by="user_id", tiebreak="event_id", right_cols=["event_id", "ts"]
+    )
+    want = (
+        asof_join_naive(purchases, clicks, **kw)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    for bucket_width in (3_600 * 1_000_000, None):  # 1h (µs) and default 1d
+        got = (
+            asof_join(purchases, clicks, bucket_width=bucket_width, **kw)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        assert list(got.columns) == list(want.columns) or set(got.columns) == set(
+            want.columns
+        )
+        got = got[want.columns]
+        assert len(got) == len(want), bucket_width
+        for c in want.columns:
+            a, b = got[c], want[c]
+            assert a.isna().equals(b.isna()), (bucket_width, c)
+            mask = ~a.isna()
+            assert (a[mask].to_numpy() == b[mask].to_numpy()).all(), (
+                bucket_width,
+                c,
+            )
+
+
+def test_minhash_mega_bucket_truncation_counted(ray_session):
+    """A bucket over the 200-id cap must (a) still yield pairs among the
+    kept smallest ids and (b) report HOW MANY buckets were truncated via
+    the n_truncated_buckets attr — never silently (VERDICT r03 #5)."""
+    import ray
+
+    n = 230
+    texts = ["same exact duplicated text appears here okay fine"] * n
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()), "text": texts})
+    for verify in ("inline", "join"):
+        got = dedup.minhash_near_dupes(
+            ray.data.from_arrow(t), verify=verify, bands=4, rows_per_band=2
+        )
+        assert got.attrs["n_truncated_buckets"] >= 1, verify
+        # identical docs: every kept pair is an exact dup (jaccard 1.0)
+        assert (got["a"] >= 0).all() and (got["b"] >= 0).all(), verify
+        assert len(got) == 200 * 199 // 2, verify
+        assert got["a"].max() < 200 and got["b"].max() < 200, verify
+
+
+def test_minhash_no_truncation_attr_zero(docs_with_dups):
+    """Small buckets: the truncation counter must exist and be zero."""
+    got = dedup.minhash_near_dupes(docs_with_dups, threshold=0.5)
+    assert got.attrs["n_truncated_buckets"] == 0
