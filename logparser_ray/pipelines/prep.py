@@ -104,12 +104,17 @@ def prep_corpus(
     # guard, distributed semi-join past it. Net exchange budget DROPS vs
     # round 3: full rows now move only once (the packing sort below);
     # the dedup itself ships 24 B/row partials.
-    pinned = mixed.materialize()  # consumed 2-3x: winners, filter, count
+    pinned = mixed.materialize()  # consumed twice: winners, filter→sort
     from logparser_ray.stages.dedup import exact_dedup_representatives
 
-    winners = exact_dedup_representatives(pinned, by="hash").select_columns(
-        ["doc_id"]
-    )
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    winners = exact_dedup_representatives(
+        pinned,
+        by="hash",
+        # right-size the 24 B/row winner exchange from the row hint — the
+        # default-width groupby costs ~2 s of spin-up at fixture scale
+        num_partitions=max(2, min(cpus, n_in // 1_000_000 + 2)),
+    ).select_columns(["doc_id"])
     winner_bytes = int(n_in) * 8  # ≤ one int64 per distinct doc
     if winner_bytes <= 256 << 20:
         from logparser_ray.stages.joins import collect_dim_table
@@ -123,6 +128,9 @@ def prep_corpus(
         deduped = pinned.map_batches(
             keep_winner, batch_format="pyarrow", zero_copy_batch=True
         )
+        # the winner-id set IS the dedup census — no counting pass (a
+        # count() here re-executed the filter once before the sort did)
+        n_dedup = len(ids)
     else:  # 100 TB path: winner set too big for every worker — semi-join
         from logparser_ray.stages.joins import join_num_partitions
 
@@ -132,8 +140,7 @@ def prep_corpus(
             num_partitions=join_num_partitions(n_in),
             on=("doc_id",),
         )
-
-    n_dedup = deduped.count()
+        n_dedup = deduped.count()
     # packing assigns docs to sequences in a TOTAL id order, which the
     # mixture filter preserved but the metrics need pinned anyway — the
     # range sort here is the pipeline's ONLY full-row exchange, inherent
@@ -147,10 +154,20 @@ def prep_corpus(
             "n_tok", pc.cast(pc.list_value_length(toks), pa.int64())
         )
 
+    to_sort = deduped.select_columns(["doc_id", "text", "lang", "source"]).map_batches(
+        count_toks, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # size-guarded coalesce: a tiny corpus read as many splits would sort
+    # over one exchange partition per split (measured r4: 64 near-empty
+    # sort partitions cost 0.7 s where 4 cost 0.2 s). Only fires when the
+    # block count is far above the row-scaled target, so at real scale the
+    # full-row data moves exactly ONCE (the sort) — never an extra
+    # repartition pass.
+    sort_blocks = max(2, min(cpus, n_in // 100_000 + 2))
+    if pinned.num_blocks() > 4 * sort_blocks:
+        to_sort = to_sort.repartition(num_blocks=sort_blocks)
     packed = pack_sequences(
-        deduped.select_columns(["doc_id", "text", "lang", "source"])
-        .map_batches(count_toks, batch_format="pyarrow", zero_copy_batch=True)
-        .sort("doc_id"),
+        to_sort.sort("doc_id"),
         tok_col="n_tok",
         budget=budget,
     )

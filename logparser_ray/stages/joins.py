@@ -35,13 +35,16 @@ def join_num_partitions(n_rows: int | None = None) -> int:
     """Hash-join partition count scaled to input size and cluster CPUs
     (ADVICE r02: a hardcoded 8 under-partitions at larger scale factors).
 
-    Small inputs keep partitions ≈ CPU/4 so aggregator spin-up doesn't
-    dominate (measured: join fixed cost ~2-4 s); big inputs grow with rows
-    so each partition stays bounded (~1M fact rows per partition)."""
+    Each join partition is one aggregator actor with ~0.4 s measured
+    spin-up (r4, this box), so small inputs want the FEWEST partitions
+    that keep per-partition memory bounded — the former CPU/4 base put
+    revenue_by_nation at 8 partitions and its wall at 5.2 s where 4
+    partitions run 3.7 s. Big inputs grow with rows (~1 M fact rows per
+    partition, cap 512) so no partition is ever unbounded."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    base = max(2, cpus // 4)
+    base = min(8, max(2, cpus // 8))
     if n_rows is None:
         return base
     return max(base, min(512, n_rows // 1_000_000 + 2))
