@@ -115,16 +115,12 @@ def run_bench() -> dict:
     # The flagship above uses fused shard tasks and never touches it, so
     # without this the first exchange-heavy query absorbs the whole cost and
     # round-over-round deltas are noise.
-    from ray.data.context import ShuffleStrategy
+    from logparser_ray.stages.exchange import hash_shuffle
 
-    _prev = ray.data.DataContext.get_current().shuffle_strategy
-    ray.data.DataContext.get_current().shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    try:
+    with hash_shuffle(ray.data.DataContext.get_current()):
         ray.data.range(200_000).repartition(
             num_blocks=NUM_CPUS, keys=["id"]
         ).count()
-    finally:
-        ray.data.DataContext.get_current().shuffle_strategy = _prev
 
     from logparser_ray.queries import q_docs_unigram_near_dupes
 

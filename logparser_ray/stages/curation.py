@@ -277,6 +277,25 @@ def decontaminate(
     )
 
 
+def _assert_complete_docs(b: pa.Table, id_col: str) -> None:
+    """Raise iff any doc in this batch carries fewer rows than its
+    ``_n_terms`` census says it owns — i.e. the doc straddles a block
+    boundary. Used by the tfidf broadcast path, whose per-batch top-k is
+    exact ONLY over whole docs (the silent-wrong-results hazard a split
+    oversized block would otherwise introduce)."""
+    ids_np = b[id_col].to_numpy(zero_copy_only=False)
+    want = b["_n_terms"].to_numpy(zero_copy_only=False)
+    uniq, first_idx, got = np.unique(ids_np, return_index=True, return_counts=True)
+    if not (want[first_idx] == got).all():
+        bad = uniq[want[first_idx] != got]
+        raise RuntimeError(
+            f"tfidf_topk broadcast path: doc(s) {bad[:5].tolist()} straddle "
+            "a block boundary (Ray split an oversized block); lower "
+            "batch/block size or force the join fallback with "
+            "broadcast_max_bytes=0"
+        )
+
+
 def tfidf_topk(
     ds,
     *,
@@ -335,18 +354,37 @@ def tfidf_topk(
         toks = pc.split_pattern(b[text_col].combine_chunks(), " ")
         di = _doc_index(np.asarray(toks.offsets, dtype=np.int64))
         ids = b[id_col].to_numpy(zero_copy_only=False)[di]
-        return (
+        pairs = (
             pa.table({id_col: pa.array(ids), "term": toks.flatten()})
             .group_by([id_col, "term"])
             .aggregate([([], "count_all")])
             .rename_columns([id_col, "term", "tf"])
+        )
+        # carry each doc's TOTAL distinct-term count on every row: the
+        # broadcast path's per-batch top-k is only exact while a doc's
+        # terms stay in ONE block, and Ray splits blocks over
+        # target_max_block_size — the count lets the consumer DETECT a
+        # straddle and raise instead of silently mis-ranking (ADVICE r03)
+        per_doc = pairs.group_by([id_col]).aggregate([([], "count_all")])
+        idx = pc.index_in(pairs[id_col], value_set=per_doc[id_col].combine_chunks())
+        return pairs.append_column(
+            "_n_terms", per_doc["count_all"].combine_chunks().take(idx)
         )
 
     tf_ds = target.select_columns([id_col, text_col]).map_batches(
         tf_batch, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def score_topk(b: pa.Table) -> pa.Table:
+    def score_topk(b: pa.Table, require_complete_docs: bool = False) -> pa.Table:
+        if require_complete_docs and b.num_rows:
+            # broadcast-path precondition: every doc wholly inside this
+            # batch. A block split between tf_batch and here would halve a
+            # doc's term set and silently corrupt its top-k — raise loudly
+            # instead (callers then rerun with the join fallback, whose
+            # per-doc re-rank tolerates scattered terms).
+            _assert_complete_docs(b, id_col)
+        if "_n_terms" in b.column_names:
+            b = b.drop_columns(["_n_terms"])
         tf = b["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
         df = b["df"].to_numpy(zero_copy_only=False).astype(np.float64)
         score = np.floor(tf * np.log(float(n_docs) / df) * 10_000 + 0.5).astype(
@@ -372,8 +410,10 @@ def tfidf_topk(
     df_mat = df_ds.materialize()
     if df_mat.size_bytes() <= broadcast_max_bytes:
         # broadcast path: one map_batches does lookup + score + EXACT
-        # per-doc top-k (tf_batch emits each doc's terms inside one batch,
-        # so no cross-batch finalize is needed — zero extra exchanges)
+        # per-doc top-k. tf_batch emits each doc's terms inside one block
+        # and carries the doc's term count, and score_topk RAISES if a
+        # block split ever breaks that precondition (no silent mis-rank);
+        # zero extra exchanges on the happy path
         from logparser_ray.stages.joins import collect_dim_table
 
         ref = ray.put(collect_dim_table(df_mat))
@@ -382,7 +422,7 @@ def tfidf_topk(
             d = ray.get(ref)
             idx = pc.index_in(b["term"], value_set=d["term"].combine_chunks())
             b = b.append_column("df", d["df"].combine_chunks().take(idx))
-            return score_topk(b)
+            return score_topk(b, require_complete_docs=True)
 
         return tf_ds.map_batches(
             lookup_score, batch_format="pyarrow", zero_copy_batch=True

@@ -244,8 +244,6 @@ def minhash_near_dupes(
     """
     if verify not in ("inline", "join"):
         raise ValueError(verify)
-    from ray.data.context import ShuffleStrategy
-
     # size the bucket shuffle from the input row count (parquet metadata /
     # in-memory — cheap), NOT from bands_ds.count(), which would execute the
     # MinHasher stage a second time just to size blocks. Counted BEFORE the
@@ -272,18 +270,13 @@ def minhash_near_dupes(
     )
     n_blocks = max(4, min(64, (n_docs * bands) // 50_000 + 4))
 
-    # The shuffle strategy lives in the context captured by the ROOT dataset
-    # at creation; flip it as late as possible and restore in finally.
-    root_ctx = ds.context
-    prev_strategy = root_ctx.shuffle_strategy
-    root_ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    try:
+    from logparser_ray.stages.exchange import hash_shuffle
+
+    with hash_shuffle(ds):
         if verify == "inline":
             out = _near_dupes_inline(bands_ds, n_blocks, threshold)
         else:
             out = _near_dupes_join(ds, bands_ds, n_blocks, n_docs, k, threshold)
-    finally:
-        root_ctx.shuffle_strategy = prev_strategy
     n_trunc = int(out.attrs.get("n_truncated_buckets", 0))
     if n_trunc:  # no silent caps: the pair list under-reports these buckets
         import logging
@@ -611,8 +604,6 @@ def simhash_near_dupes(
             }
         )
 
-    from ray.data.context import ShuffleStrategy
-
     if n_docs is None:  # hint avoids re-executing a derived lineage
         n_docs = ds.count()  # before the strategy flip — can't leak on failure
 
@@ -659,10 +650,9 @@ def simhash_near_dupes(
             }
         )
 
-    root_ctx = ds.context
-    prev_strategy = root_ctx.shuffle_strategy
-    root_ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    try:
+    from logparser_ray.stages.exchange import hash_shuffle
+
+    with hash_shuffle(ds):
         n_blocks = max(4, min(64, (n_docs * bands) // 50_000 + 4))
         out = (
             ds.select_columns([id_col, "text"])
@@ -671,8 +661,6 @@ def simhash_near_dupes(
             .map_batches(pairs_in_block, batch_format="pyarrow", batch_size=None)
             .to_pandas()
         )
-    finally:
-        root_ctx.shuffle_strategy = prev_strategy
     out = out.drop_duplicates(["a", "b"]).reset_index(drop=True)
     n_trunc = int((out["a"] < 0).sum()) if len(out) else 0
     if n_trunc:

@@ -75,11 +75,9 @@ def route_repartition(
     and the context's previous strategy is restored before returning,
     instead of leaking HASH_SHUFFLE into every later op on the context.
     """
-    from ray.data.context import ShuffleStrategy
+    from logparser_ray.stages.exchange import hash_shuffle
 
-    prev_strategy = ds.context.shuffle_strategy
-    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    try:
+    with hash_shuffle(ds):
         keys = list(keys or SINK_KEYS)
         if salted:
             ds = add_salt(ds, num_salts=num_salts)
@@ -88,8 +86,6 @@ def route_repartition(
         if salted:
             ds = ds.drop_columns([SALT_COL])
         return ds.materialize()
-    finally:
-        ds.context.shuffle_strategy = prev_strategy
 
 
 # ---------------------------------------------------------------------------

@@ -290,3 +290,33 @@ def test_prep_corpus_write_and_metrics(ray_session, tmp_path):
     # every doc fits in exactly one sequence; bins are dense from 0
     seqs = sorted(set(back.to_pandas()["seq_id"]))
     assert seqs[0] == 0 and seqs[-1] == m["n_sequences"] - 1
+
+
+def test_tfidf_straddle_detector():
+    """The broadcast path's completeness census: whole docs pass, a doc
+    whose term rows straddle a block boundary raises instead of silently
+    mis-ranking (ADVICE r03 — Ray splits blocks over
+    target_max_block_size, so per-batch top-k needs a loud guard)."""
+    import pytest
+
+    from logparser_ray.stages.curation import _assert_complete_docs
+
+    whole = pa.table(
+        {
+            "doc_id": [1, 1, 2],
+            "term": ["a", "b", "a"],
+            "_n_terms": [2, 2, 1],
+        }
+    )
+    _assert_complete_docs(whole, "doc_id")  # must not raise
+
+    # doc 1 claims 3 terms but only 2 landed in this batch → straddle
+    split = pa.table(
+        {
+            "doc_id": [1, 1, 2],
+            "term": ["a", "b", "a"],
+            "_n_terms": [3, 3, 1],
+        }
+    )
+    with pytest.raises(RuntimeError, match="straddle"):
+        _assert_complete_docs(split, "doc_id")

@@ -994,3 +994,25 @@ def test_minhash_no_truncation_attr_zero(docs_with_dups):
     """Small buckets: the truncation counter must exist and be zero."""
     got = dedup.minhash_near_dupes(docs_with_dups, threshold=0.5)
     assert got.attrs["n_truncated_buckets"] == 0
+
+
+def test_bucketed_window_plans_have_no_sort_or_mapgroups(ray_session):
+    """The rerouted gap/rolling operators must never plan a global Sort or
+    a per-key MapGroups (the round-3 scale-killers they replaced) — only
+    keyed Repartition exchanges plus map_batches."""
+    import ray
+
+    from logparser_ray.stages.windows import avg_gap_bucketed, rolling_sum_bucketed
+
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(
+        sf + "/events.parquet", columns=["user_id", "ts", "event_id", "value"]
+    )
+    g = avg_gap_bucketed(ds)
+    stats = g.stats().lower()
+    assert "sort" not in stats, stats
+    assert "mapgroups" not in stats.replace("_", "").replace(" ", ""), stats
+    r = rolling_sum_bucketed(ds, window=3)
+    stats = r.stats().lower()
+    assert "sort" not in stats, stats
+    assert "mapgroups" not in stats.replace("_", "").replace(" ", ""), stats
