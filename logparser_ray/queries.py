@@ -1272,16 +1272,36 @@ def q_docs_tfidf_topk(sf_dir: str):
 
 
 def q_docs_near_dup_audit(sf_dir: str):
-    """Tagged union of the three rows-only near-dup audits (MinHash-LSH
-    unigram pairs, banded-Hamming SimHash pairs, exact-simhash clusters) —
-    one driver-audited entry (audit-cap discipline; per-path semantics are
-    pinned by the planted-dup / pigeonhole-recall tests in
+    """Tagged union of the rows-only near-dup audits (MinHash-LSH unigram
+    pairs, banded-Hamming SimHash pairs, exact-simhash clusters, and the
+    round-4 incremental cross-snapshot matches) — one driver-audited entry
+    (audit-cap discipline; per-path semantics are pinned by the
+    planted-dup / pigeonhole-recall / cross-side-subset tests in
     tests/test_extras.py)."""
     import pandas as pd
+
+    from logparser_ray.stages.dedup import minhash_against_prior
 
     mh = q_docs_unigram_near_dupes(sf_dir)
     sp = q_docs_simhash_near_dupes(sf_dir)
     cl = q_docs_simhash_clusters(sf_dir).to_pandas()
+    # incremental audit: even doc_ids play the prior snapshot, odd the new
+    # batch — every cross-parity near-dup must surface with its best match
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def parity(p: int):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(pc.bit_wise_and(b["doc_id"], 1), p))
+
+        return fn
+
+    inc = minhash_against_prior(
+        docs.map_batches(parity(1), batch_format="pyarrow", zero_copy_batch=True),
+        docs.map_batches(parity(0), batch_format="pyarrow", zero_copy_batch=True),
+        threshold=0.5,
+        n_new=_parquet_rows(sf_dir, "documents") // 2,
+        n_prior=_parquet_rows(sf_dir, "documents") // 2,
+    )
     parts = [
         pd.DataFrame(
             {
@@ -1305,6 +1325,14 @@ def q_docs_near_dup_audit(sf_dir: str):
                 "a": cl["min_doc_id"].astype("int64"),
                 "b": cl["n_docs"].astype("int64"),
                 "val": cl["simhash"].astype("int64"),
+            }
+        ),
+        pd.DataFrame(
+            {
+                "method": "minhash_incremental",
+                "a": inc["doc_id"].astype("int64"),
+                "b": inc["dup_of"].astype("int64"),
+                "val": np.floor(inc["jaccard"] * 10_000 + 0.5).astype("int64"),
             }
         ),
     ]

@@ -461,6 +461,159 @@ def _near_dupes_join(
     return out
 
 
+def minhash_against_prior(
+    new_ds,
+    prior_ds,
+    *,
+    id_col: str = "doc_id",
+    k: int = 3,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.8,
+    n_new: int | None = None,
+    n_prior: int | None = None,
+    max_bucket: int = 200,
+) -> pd.DataFrame:
+    """Incremental NEAR-dup: for each doc of ``new_ds`` whose exact k-gram
+    Jaccard against some ``prior_ds`` doc is ≥ ``threshold``, report the
+    best prior match — the continuous-ingestion counterpart of
+    ``dedup_against_prior`` (which only catches byte-exact repeats; a
+    re-crawled page with a new timestamp needs this one).
+
+    Returns a pandas DataFrame ``(doc_id, dup_of, jaccard)``, one row per
+    MATCHED new doc (``dup_of`` = the prior doc with the highest verified
+    Jaccard, ties → smallest prior id); unmatched new docs are absent.
+    Ids may overlap between snapshots — sides are discriminated by a tag
+    column, never by id value.
+
+    Scale shape (same discipline as ``minhash_near_dupes``): both sides
+    band-hash with the SAME seed, so a new/prior pair collides in a band
+    bucket with the standard LSH probability; ONE bucket exchange of
+    ``(band_id, band_hash, id, side, shingles)`` rows; each bucket block
+    verifies ONLY new×prior candidates in place (intra-side pairs are
+    deliberately out of scope — run ``minhash_near_dupes`` within a batch
+    for those) and emits its per-new best. The driver reduces
+    per-(new, bucket) bests to one row per new doc — output-scale, bounded
+    by the number of matched new docs, never by corpus size. Mega buckets
+    cap the PRIOR side at ``max_bucket`` smallest ids (counted via
+    ``n_truncated_buckets`` attr, never silent); the new side is never
+    capped — every new doc keeps its chance to match.
+    """
+    if n_new is None:
+        n_new = new_ds.count()
+    if n_prior is None:
+        n_prior = prior_ds.count()
+
+    def bander(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            if id_col != "doc_id":  # MinHasher reads the canonical id name
+                b = b.rename_columns(
+                    ["doc_id" if c == id_col else c for c in b.column_names]
+                )
+            t = MinHasher(
+                k=k, bands=bands, rows_per_band=rows_per_band, emit_shingles=True
+            )(b)
+            return t.append_column(
+                "_side", pa.array(np.full(t.num_rows, side, np.int8))
+            )
+
+        return fn
+
+    new_bands = new_ds.select_columns([id_col, "text"]).map_batches(
+        bander(0), batch_format="pyarrow", zero_copy_batch=True
+    )
+    prior_bands = prior_ds.select_columns([id_col, "text"]).map_batches(
+        bander(1), batch_format="pyarrow", zero_copy_batch=True
+    )
+    both = new_bands.union(prior_bands)
+    n_blocks = max(4, min(64, ((n_new + n_prior) * bands) // 50_000 + 4))
+
+    def best_in_block(b: pa.Table) -> pa.Table:
+        agg = b.group_by(["band_id", "band_hash"]).aggregate(
+            [("doc_id", "list"), ("sh", "list"), ("_side", "list")]
+        )
+        out_id, out_of, out_j = [], [], []
+        for band_id, band_hash, ids, blobs, sides in zip(
+            agg["band_id"].to_pylist(),
+            agg["band_hash"].to_pylist(),
+            agg["doc_id_list"].to_pylist(),
+            agg["sh_list"].to_pylist(),
+            agg["_side_list"].to_pylist(),
+        ):
+            if len(ids) < 2:
+                continue
+            news = {i: s for i, s, sd in zip(ids, blobs, sides) if sd == 0}
+            priors = {i: s for i, s, sd in zip(ids, blobs, sides) if sd == 1}
+            if not news or not priors:
+                continue
+            if len(priors) > max_bucket:  # counted truncation — prior side
+                out_id.append(-1 - int(band_id))
+                out_of.append(int(band_hash))
+                out_j.append(0.0)
+                priors = {i: priors[i] for i in sorted(priors)[:max_bucket]}
+            p_ids = sorted(priors)
+            for ni, nsh in news.items():
+                best_j, best_p = 0.0, None
+                for pi in p_ids:
+                    jac = _jaccard_packed(nsh, priors[pi])
+                    if jac >= threshold and (
+                        best_p is None or jac > best_j
+                    ):  # ties keep the SMALLEST prior id (p_ids is sorted)
+                        best_j, best_p = jac, pi
+                if best_p is not None:
+                    out_id.append(ni)
+                    out_of.append(best_p)
+                    out_j.append(best_j)
+        return pa.table(
+            {
+                id_col: pa.array(np.asarray(out_id, np.int64)),
+                "dup_of": pa.array(np.asarray(out_of, np.int64)),
+                "jaccard": pa.array(
+                    np.round(np.asarray(out_j, np.float64), 4)
+                ),
+            }
+        )
+
+    from logparser_ray.stages.exchange import hash_shuffle
+
+    # flip the UNION's context: execution plans under the combined
+    # lineage's DataContext copy, not either input's
+    with hash_shuffle(both):
+        out = (
+            both.repartition(num_blocks=n_blocks, keys=["band_id", "band_hash"])
+            .map_batches(best_in_block, batch_format="pyarrow", batch_size=None)
+            .to_pandas()
+        )
+    n_trunc = int((out[id_col] < 0).sum()) if len(out) else 0
+    if n_trunc:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "minhash_against_prior: %d bucket(s) exceeded max_bucket=%d on "
+            "the prior side and were truncated to the %d smallest ids; "
+            "matches against the dropped priors are not reported",
+            n_trunc,
+            max_bucket,
+            max_bucket,
+        )
+    out = out[out[id_col] >= 0]
+    if len(out) == 0:
+        out = pd.DataFrame({id_col: [], "dup_of": [], "jaccard": []}).astype(
+            {id_col: np.int64, "dup_of": np.int64, "jaccard": np.float64}
+        )
+    else:
+        # one row per new doc: max jaccard, ties → smallest prior id
+        out = (
+            out.sort_values(
+                [id_col, "jaccard", "dup_of"], ascending=[True, False, True]
+            )
+            .drop_duplicates([id_col])
+            .reset_index(drop=True)
+        )
+    out.attrs["n_truncated_buckets"] = n_trunc
+    return out
+
+
 def near_dup_clusters(pairs: pd.DataFrame) -> pd.DataFrame:
     """Connected components over near-dup pairs → ``(doc_id, cluster_id)``
     with ``cluster_id`` = the component's smallest doc id.

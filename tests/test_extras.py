@@ -1016,3 +1016,91 @@ def test_bucketed_window_plans_have_no_sort_or_mapgroups(ray_session):
     stats = r.stats().lower()
     assert "sort" not in stats, stats
     assert "mapgroups" not in stats.replace("_", "").replace(" ", ""), stats
+
+
+def test_minhash_against_prior_planted(ray_session):
+    """Cross-snapshot near-dup: a new doc that is a 1-token edit of a prior
+    doc must surface with that prior as dup_of; unrelated new docs must be
+    absent; intra-side dups must NOT be reported (new×new is out of scope
+    by design — minhash_near_dupes covers within-batch)."""
+    import ray
+
+    prior_texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten",
+        "totally different prior content sits here quietly okay",
+    ]
+    new_texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota NEW",  # ~ prior 100
+        "fresh unrelated words that match nothing at all here",
+        "fresh unrelated words that match nothing at all here",  # intra-new dup
+    ]
+    prior = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([100, 101, 102], pa.int64()), "text": prior_texts})
+    )
+    new = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([200, 201, 202], pa.int64()), "text": new_texts})
+    )
+    got = dedup.minhash_against_prior(new, prior, threshold=0.5)
+    assert got.attrs["n_truncated_buckets"] == 0
+    assert set(got["doc_id"]) == {200}
+    assert got.set_index("doc_id").loc[200, "dup_of"] == 100
+    assert got.set_index("doc_id").loc[200, "jaccard"] >= 0.5
+
+
+def test_minhash_against_prior_matches_cross_side_subset(ray_session):
+    """With disjoint id ranges, the incremental matcher's (new, prior)
+    pairs must be exactly the cross-side subset of minhash_near_dupes over
+    the combined corpus (same params), reduced to each new doc's best —
+    the two operators share one LSH construction, so this pins the
+    incremental path against the already-verified batch path."""
+    import ray
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(40)]
+    base = [" ".join(rng.choice(vocab, size=12)) for _ in range(30)]
+    # prior = originals (ids 0..29); new = edits of half of them + noise
+    new_texts = []
+    for i, t in enumerate(base[:15]):
+        toks = t.split()
+        toks[0] = "EDIT"
+        new_texts.append(" ".join(toks))
+    new_texts += [" ".join(rng.choice(vocab, size=12)) for _ in range(10)]
+    prior = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(30), pa.int64()), "text": base})
+    )
+    new = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(1000, 1000 + len(new_texts)), pa.int64()),
+                "text": new_texts,
+            }
+        )
+    )
+    kw = dict(k=3, bands=8, rows_per_band=2, threshold=0.35)
+    got = dedup.minhash_against_prior(new, prior, **kw)
+
+    combined = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(
+                    list(range(30)) + list(range(1000, 1000 + len(new_texts))),
+                    pa.int64(),
+                ),
+                "text": base + new_texts,
+            }
+        )
+    )
+    pairs = dedup.minhash_near_dupes(combined, **kw)
+    cross = pairs[(pairs["a"] < 1000) & (pairs["b"] >= 1000)]
+    want = (
+        cross.rename(columns={"b": "doc_id", "a": "dup_of"})
+        .sort_values(["doc_id", "jaccard", "dup_of"], ascending=[True, False, True])
+        .drop_duplicates(["doc_id"])
+        .sort_values("doc_id")
+        .reset_index(drop=True)[["doc_id", "dup_of", "jaccard"]]
+    )
+    got = got.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "dup_of", "jaccard"]
+    ]
+    pd.testing.assert_frame_equal(got, want)
