@@ -213,6 +213,37 @@ def _jaccard_packed(sa_blob: bytes, sb_blob: bytes) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
+def _bucket_jaccard_pairs(blobs: list, threshold: float):
+    """ALL-PAIRS exact Jaccard inside one LSH bucket, vectorized: build the
+    (m docs × v distinct shingles) 0/1 incidence matrix and one BLAS matmul
+    yields every pairwise intersection at once — the per-pair
+    ``np.intersect1d`` loop cost ~5 µs × O(m²) pairs and dominated the
+    whole operator on dup-heavy corpora (measured r4: 4.7 s for a 540 k-
+    pair sf0.1 run, ~3 s of it in the loop). Intersections stay ≤ 2²⁴ so
+    the float32 matmul is exact; the division happens in float64 on the
+    integer values, bit-identical to ``_jaccard_packed``.
+
+    Returns ``(ii, jj, jac)`` index pairs (ii < jj, positions into
+    ``blobs``) with Jaccard ≥ threshold."""
+    m = len(blobs)
+    arrs = [np.frombuffer(b, dtype="<u8") for b in blobs]
+    sizes = np.array([a.size for a in arrs], dtype=np.int64)
+    allv = np.concatenate(arrs) if sizes.sum() else np.empty(0, np.uint64)
+    uniq_v, inv = np.unique(allv, return_inverse=True)
+    M = np.zeros((m, max(1, uniq_v.size)), dtype=np.float32)
+    M[np.repeat(np.arange(m), sizes), inv] = 1.0
+    inter = (M @ M.T).astype(np.int64)
+    union = sizes[:, None] + sizes[None, :] - inter
+    jac = inter / np.maximum(union, 1)
+    # both-empty pairs are identical by convention (mirrors _jaccard_packed)
+    empty = sizes == 0
+    if empty.any():
+        jac[np.ix_(empty, empty)] = 1.0
+    ii, jj = np.triu_indices(m, k=1)
+    ok = jac[ii, jj] >= threshold
+    return ii[ok], jj[ok], jac[ii, jj][ok]
+
+
 def minhash_near_dupes(
     ds,
     *,
@@ -335,13 +366,22 @@ def _near_dupes_inline(bands_ds, n_blocks: int, threshold: float) -> pd.DataFram
             u = sorted(by_id)[:200]
             if len(u) < 2:
                 continue
-            for i in range(len(u)):
-                for j in range(i + 1, len(u)):
-                    jac = _jaccard_packed(by_id[u[i]], by_id[u[j]])
-                    if jac >= threshold:
-                        out_a.append(u[i])
-                        out_b.append(u[j])
-                        out_j.append(jac)
+            if len(u) <= 4:  # tiny bucket: the pair loop beats matrix setup
+                for i in range(len(u)):
+                    for j in range(i + 1, len(u)):
+                        jac = _jaccard_packed(by_id[u[i]], by_id[u[j]])
+                        if jac >= threshold:
+                            out_a.append(u[i])
+                            out_b.append(u[j])
+                            out_j.append(jac)
+            else:
+                ii, jj, jac = _bucket_jaccard_pairs(
+                    [by_id[x] for x in u], threshold
+                )
+                ua = np.asarray(u, dtype=np.int64)
+                out_a.extend(ua[ii].tolist())
+                out_b.extend(ua[jj].tolist())
+                out_j.extend(jac.tolist())
         return pa.table(
             {
                 "a": pa.array(np.asarray(out_a, np.int64)),

@@ -320,3 +320,54 @@ def test_tfidf_straddle_detector():
     )
     with pytest.raises(RuntimeError, match="straddle"):
         _assert_complete_docs(split, "doc_id")
+
+
+def test_decontaminate_bloom_no_false_negatives(ray_session):
+    """Bloom mode must dominate exact mode hit-for-hit (a Bloom filter has
+    NO false negatives): every exact hit is a bloom hit, every exactly
+    contaminated doc is bloom-contaminated, and on this tiny gram space
+    the flags coincide."""
+    import ray
+    from logparser_ray.stages.curation import decontaminate
+
+    bench = [
+        "the quick brown fox jumps over the lazy dog near the old barn today",
+        "pack my box with five dozen liquor jugs right now please thanks a lot",
+    ]
+    span = " ".join(bench[0].split()[:13])
+    docs = [
+        "prefix words " + span + " suffix",
+        "completely unrelated text with enough tokens to form many grams "
+        "but none shared with the benchmark set at all here today okay",
+        "x " + " ".join(bench[1].split()[1:14]),
+    ]
+    ds = ray.data.from_arrow(pa.table({"doc_id": [0, 1, 2], "text": docs}))
+    exact = decontaminate(ds, bench, n=13).to_pandas().sort_values("doc_id")
+    bloom = (
+        decontaminate(ds, bench, n=13, mode="bloom")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert (bloom["n_hits"].to_numpy() >= exact["n_hits"].to_numpy()).all()
+    assert (
+        bloom["contaminated"].to_numpy() >= exact["contaminated"].to_numpy()
+    ).all()
+    assert bloom["contaminated"].tolist() == exact["contaminated"].tolist()
+    assert exact["contaminated"].tolist() == [1, 0, 1]
+
+
+def test_bloom_fpr_bounded():
+    """Probing 50k grams absent from a 1k-gram filter must false-positive
+    at ≲ the design rate (~1e-7 at the default 24 bits/gram with
+    splitmix-mixed probes; assert a generous < 0.05%)."""
+    import pyarrow as pa
+
+    from logparser_ray.stages.curation import _bloom_build, _bloom_probe
+
+    members = pa.array([f"in gram number {i}" for i in range(1000)], pa.string())
+    bits, mask, k = _bloom_build(members)
+    inside = _bloom_probe(bits, mask, k, members.to_numpy(zero_copy_only=False))
+    assert inside.all()  # zero false negatives by construction
+    probes = np.array([f"out gram number {i}" for i in range(50_000)], dtype=object)
+    hits = _bloom_probe(bits, mask, k, probes)
+    assert hits.mean() < 0.0005, hits.mean()

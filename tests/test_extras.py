@@ -1104,3 +1104,27 @@ def test_minhash_against_prior_matches_cross_side_subset(ray_session):
         ["doc_id", "dup_of", "jaccard"]
     ]
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_bucket_jaccard_matrix_equals_pairwise():
+    """The vectorized incidence-matrix bucket verifier must emit exactly
+    the per-pair _jaccard_packed results — same pairs, bit-identical
+    values — including the both-empty convention (jaccard 1.0)."""
+    rng = np.random.default_rng(3)
+    blobs = []
+    for _ in range(17):
+        n = int(rng.integers(0, 60))
+        vals = np.unique(rng.integers(0, 80, size=n).astype("<u8"))
+        blobs.append(vals.tobytes())
+    blobs.append(b"")  # two empty docs → jaccard 1.0 by convention
+    blobs.append(b"")
+    for thr in (0.0, 0.2, 0.8):
+        ii, jj, jac = dedup._bucket_jaccard_pairs(blobs, thr)
+        got = {(int(i), int(j)): float(v) for i, j, v in zip(ii, jj, jac)}
+        want = {}
+        for i in range(len(blobs)):
+            for j in range(i + 1, len(blobs)):
+                v = dedup._jaccard_packed(blobs[i], blobs[j])
+                if v >= thr:
+                    want[(i, j)] = v
+        assert got == want, thr
