@@ -139,7 +139,8 @@ def prep_corpus(
             "inner",
             num_partitions=join_num_partitions(n_in),
             on=("doc_id",),
-        )
+        ).materialize()  # consumed twice (census + pack) — never rerun
+        # the most expensive exchange for a row count (review r4)
         n_dedup = deduped.count()
     # packing assigns docs to sequences in a TOTAL id order, which the
     # mixture filter preserved but the metrics need pinned anyway — the
@@ -159,13 +160,16 @@ def prep_corpus(
     )
     # size-guarded coalesce: a tiny corpus read as many splits would sort
     # over one exchange partition per split (measured r4: 64 near-empty
-    # sort partitions cost 0.7 s where 4 cost 0.2 s). Only fires when the
-    # block count is far above the row-scaled target, so at real scale the
-    # full-row data moves exactly ONCE (the sort) — never an extra
-    # repartition pass.
-    sort_blocks = max(2, min(cpus, n_in // 100_000 + 2))
-    if pinned.num_blocks() > 4 * sort_blocks:
-        to_sort = to_sort.repartition(num_blocks=sort_blocks)
+    # sort partitions cost 0.7 s where 4 cost 0.2 s). The target is
+    # PURELY row-scaled (~100 k rows/block, UNcapped) so at real scale the
+    # guard never fires and full rows move exactly ONCE (the sort); a
+    # cpus-capped target would trip on any many-shard corpus and insert a
+    # second full-row pass (review r4). Guard reads pinned's block count,
+    # which only matches to_sort's lineage on the broadcast branch — the
+    # join branch already emitted join_num_partitions-sized blocks.
+    sort_blocks = max(2, n_in // 100_000 + 2)
+    if winner_bytes <= 256 << 20 and pinned.num_blocks() > 4 * sort_blocks:
+        to_sort = to_sort.repartition(num_blocks=min(sort_blocks, cpus))
     packed = pack_sequences(
         to_sort.sort("doc_id"),
         tok_col="n_tok",

@@ -237,7 +237,8 @@ def _bloom_idx(h1: np.ndarray, h2: np.ndarray, i: int) -> np.ndarray:
     structure that measured ~1000x the theoretical FPR at k=17 probes into
     a small power-of-two table (2.1e-5 vs 2.4e-8 on random strings); the
     finalizer's avalanche makes the k probes effectively independent."""
-    z = h1 ^ (h2 + np.uint64(i + 1) * np.uint64(0x9E3779B97F4A7C15))
+    step = np.uint64(((i + 1) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+    z = h1 ^ (h2 + step)
     z ^= z >> np.uint64(30)
     z *= np.uint64(0xBF58476D1CE4E5B9)
     z ^= z >> np.uint64(27)
@@ -251,9 +252,10 @@ def _bloom_build(grams: "pa.Array", bits_per_gram: int = 24):
 
     ``m`` is the next power of two ≥ bits_per_gram × n_grams (power of two
     → masking, no modulo) and ``k ≈ 0.693 · bits_per_gram`` probes —
-    textbook optimum, FPR ≈ 0.5^k (~5·10⁻⁴ at 16 bits/gram). Probes use
-    double hashing h1 + i·h2 over two independently keyed 64-bit string
-    hashes, all numpy-vectorized."""
+    textbook optimum, FPR ≈ 0.5^k (~8·10⁻⁶ at the default 24 bits/gram).
+    Each probe is a splitmix64-finalized mix of two independently keyed
+    64-bit string hashes (``_bloom_idx`` — NOT plain double hashing, which
+    measured ~1000× the theoretical FPR here), all numpy-vectorized."""
     import pandas as pd
 
     uniq = pc.unique(grams)

@@ -228,6 +228,26 @@ def _bucket_jaccard_pairs(blobs: list, threshold: float):
     m = len(blobs)
     arrs = [np.frombuffer(b, dtype="<u8") for b in blobs]
     sizes = np.array([a.size for a in arrs], dtype=np.int64)
+    if m * max(1, int(sizes.sum())) > 32_000_000 or sizes.max(initial=0) >= 1 << 24:
+        # memory/exactness guard: m×v cells bound the incidence matrix
+        # (32 M float32 cells = 128 MB) and intersections must stay < 2²⁴
+        # for the float32 matmul to be exact — past either bound, fall
+        # back to the O(1)-memory per-pair kernel (review r4: a
+        # low-threshold bucket of 200 long mostly-dissimilar docs would
+        # otherwise allocate a multi-GB matrix)
+        ii_l, jj_l, jv_l = [], [], []
+        for i in range(m):
+            for j in range(i + 1, m):
+                v = _jaccard_packed(blobs[i], blobs[j])
+                if v >= threshold:
+                    ii_l.append(i)
+                    jj_l.append(j)
+                    jv_l.append(v)
+        return (
+            np.asarray(ii_l, np.int64),
+            np.asarray(jj_l, np.int64),
+            np.asarray(jv_l, np.float64),
+        )
     allv = np.concatenate(arrs) if sizes.sum() else np.empty(0, np.uint64)
     uniq_v, inv = np.unique(allv, return_inverse=True)
     M = np.zeros((m, max(1, uniq_v.size)), dtype=np.float32)
@@ -604,13 +624,14 @@ def minhash_against_prior(
                     out_id.append(ni)
                     out_of.append(best_p)
                     out_j.append(best_j)
+        # UNROUNDED jaccard: the driver reduce below picks each new doc's
+        # best across buckets, and reducing on rounded values could prefer
+        # a lower-true-Jaccard prior whose rounded value ties (review r4)
         return pa.table(
             {
                 id_col: pa.array(np.asarray(out_id, np.int64)),
                 "dup_of": pa.array(np.asarray(out_of, np.int64)),
-                "jaccard": pa.array(
-                    np.round(np.asarray(out_j, np.float64), 4)
-                ),
+                "jaccard": pa.array(np.asarray(out_j, np.float64)),
             }
         )
 
@@ -642,7 +663,9 @@ def minhash_against_prior(
             {id_col: np.int64, "dup_of": np.int64, "jaccard": np.float64}
         )
     else:
-        # one row per new doc: max jaccard, ties → smallest prior id
+        # one row per new doc: max EXACT jaccard, ties → smallest prior id;
+        # round once at the end (display convention shared with
+        # minhash_near_dupes)
         out = (
             out.sort_values(
                 [id_col, "jaccard", "dup_of"], ascending=[True, False, True]
@@ -650,6 +673,7 @@ def minhash_against_prior(
             .drop_duplicates([id_col])
             .reset_index(drop=True)
         )
+        out["jaccard"] = np.round(out["jaccard"].to_numpy(), 4)
     out.attrs["n_truncated_buckets"] = n_trunc
     return out
 

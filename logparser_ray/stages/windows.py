@@ -539,21 +539,19 @@ def rolling_sum_bucketed(
     def local_roll(b: pa.Table) -> pa.Table:
         id_type = b.schema.field(id_col).type
         u_type = b.schema.field(user_col).type
-        empty = pa.table(
-            {
-                id_col: pa.array([], id_type),
-                out_col: pa.array([], pa.int64()),
-                user_col: pa.array([], u_type),
-                "_ts": pa.array([], pa.int64()),
-                "_cents": pa.array([], pa.int64()),
-                "_edge": pa.array([], pa.int8()),
-            }
-        )
-        empty_interior = pa.table(
-            {id_col: pa.array([], id_type), out_col: pa.array([], pa.int64())}
-        )
         if b.num_rows == 0:
-            return empty, empty_interior
+            return pa.table(
+                {
+                    id_col: pa.array([], id_type),
+                    out_col: pa.array([], pa.int64()),
+                    user_col: pa.array([], u_type),
+                    "_ts": pa.array([], pa.int64()),
+                    "_cents": pa.array([], pa.int64()),
+                    "_edge": pa.array([], pa.int8()),
+                    "_int": pa.array([], pa.int8()),
+                    "_strm": pa.array([], pa.int8()),
+                }
+            )
         t = b.take(
             pc.sort_indices(
                 b,
@@ -587,29 +585,22 @@ def rolling_sum_bucketed(
         is_edge = pos < (w - 1)
         is_carrier = pos >= (size - (w - 1))
         keep = is_edge | is_carrier
+        # ONE pass, every row once, flagged for the two consumers (review
+        # r4: separate interior/stream map_batches each re-sorted and
+        # re-rolled every block): _int → interior output rows (full window
+        # in-bucket), _strm → edge/carrier rows for the per-user fix-up
         return pa.table(
             {
-                id_col: t[id_col].combine_chunks().filter(pa.array(keep)),
-                out_col: pa.array(roll[keep]),
-                user_col: t[user_col].combine_chunks().filter(pa.array(keep)),
-                "_ts": pa.array(ts[keep]),
-                "_cents": pa.array(cents[keep]),
-                "_edge": pa.array(is_edge[keep].astype(np.int8)),
-            }
-        ), pa.table(
-            {
-                id_col: t[id_col].combine_chunks().filter(pa.array(~is_edge)),
-                out_col: pa.array(roll[~is_edge]),
+                id_col: t[id_col].combine_chunks(),
+                out_col: pa.array(roll),
+                user_col: t[user_col].combine_chunks(),
+                "_ts": pa.array(ts),
+                "_cents": pa.array(cents),
+                "_edge": pa.array(is_edge.astype(np.int8)),
+                "_int": pa.array((~is_edge).astype(np.int8)),
+                "_strm": pa.array(keep.astype(np.int8)),
             }
         )
-
-    def local_split(b: pa.Table) -> pa.Table:
-        stream, _ = local_roll(b)
-        return stream
-
-    def local_interior(b: pa.Table) -> pa.Table:
-        _, interior = local_roll(b)
-        return interior
 
     def fix_edges(b: pa.Table) -> pa.Table:
         id_type = b.schema.field(id_col).type
@@ -649,16 +640,18 @@ def rolling_sum_bucketed(
             .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
             .repartition(num_blocks=n_blocks, keys=[user_col, "_bucket"])
         )
-        # the plan forks (interior vs stream): pin the exchanged blocks once
-        # so both branches reuse them instead of re-running the exchange
-        pinned = tagged.materialize()
-        interior = pinned.map_batches(
-            local_interior, batch_format="pyarrow", zero_copy_batch=True
+        # the plan forks (interior vs stream): run the sort+roll ONCE per
+        # block and pin the flagged result, so both branches filter the
+        # same computed rows (the exchange AND the roll never re-run)
+        rolled = tagged.map_batches(
+            local_roll, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        interior = rolled.filter(expr="_int == 1").select_columns(
+            [id_col, out_col]
         )
         edges = (
-            pinned.map_batches(
-                local_split, batch_format="pyarrow", zero_copy_batch=True
-            )
+            rolled.filter(expr="_strm == 1")
+            .drop_columns([out_col, "_int", "_strm"])
             .repartition(num_blocks=n_blocks2, keys=[user_col])
             .map_batches(fix_edges, batch_format="pyarrow", zero_copy_batch=True)
         )

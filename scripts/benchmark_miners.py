@@ -37,6 +37,12 @@ _REX = {
         r"\b\d+\b",  # remaining standalone numbers
     ],
     "weblog": [
+        # HTTP methods: a pure-alphabetic slot value no digit/path rex
+        # touches — it split Drain/Spell's prefix trees into per-method
+        # clones (measured 0.899 → 1.000 for both with this rule). Same
+        # move as upstream's per-dataset request-line regexes for
+        # Apache/HTTPd-style corpora († benchmark_settings).
+        r"\b(?:GET|POST|PUT|DELETE|HEAD)\b",
         r"(?:\d+\.){3}\d+(?::\d+)?",  # ip[:port]
         r"(?:/[\w.-]+)+",  # url paths (/api/v1/users, /static/app.js)
         r"\b[sw]\d+\b",  # session/worker ids — before the digit pass
