@@ -612,6 +612,44 @@ def q_events_distinct_users(sf_dir: str):
     )
 
 
+def q_events_profile(sf_dir: str):
+    """Table profiler (per-column data-quality stats: row/null/distinct
+    counts + min/max renderings — ``stages/profile.py``, one streaming
+    pass + a column-count-sized merge) unioned with the grouped
+    exact-distinct rows the former ``events_distinct_users`` entry pinned.
+    Long format ``(part, k, v)`` so every stat and type shares one
+    hash-comparable schema; float min/max are unprofiled by design (no
+    order-preserving shared rendering) and their rows are absent on both
+    sides."""
+    from logparser_ray.stages.profile import profile_table
+
+    ev = _read(sf_dir, "events")
+    prof = profile_table(ev).to_pandas()
+    part, k, v = [], [], []
+    for _, r in prof.iterrows():
+        for stat in ("n_rows", "n_null", "n_distinct"):
+            part.append("profile")
+            k.append(f"{r['col']}.{stat}")
+            v.append(str(int(r[stat])))
+        for stat in ("min_repr", "max_repr"):
+            if r[stat] is not None:
+                part.append("profile")
+                k.append(f"{r['col']}.{stat}")
+                v.append(r[stat])
+    du = q_events_distinct_users(sf_dir).to_pandas()
+    for _, r in du.iterrows():
+        part.append("distinct_users")
+        k.append(str(r["event_type"]))
+        v.append(str(int(r["n_users"])))
+    return pa.table(
+        {
+            "part": pa.array(part, pa.string()),
+            "k": pa.array(k, pa.string()),
+            "v": pa.array(v, pa.string()),
+        }
+    )
+
+
 def q_orders_monthly(sf_dir: str):
     ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
 
@@ -1734,7 +1772,8 @@ QUERIES = {
     "orders_customer_join": q_orders_customer_join,
     "customers_semi_anti": q_customers_semi_anti,
     "revenue_by_nation": q_revenue_by_nation,
-    "events_distinct_users": q_events_distinct_users,
+    # grouped exact-distinct rides inside events_profile (part='distinct_users')
+    "events_profile": q_events_profile,
     "tpch_group_aggs": q_tpch_group_aggs,
     "docs_corpus_prep": q_docs_corpus_prep,
     "top_orders_per_segment": q_top_orders_per_segment,
@@ -2049,10 +2088,12 @@ ORACLE = {
         "JOIN nation n ON c.c_nationkey = n.n_nationkey "
         "GROUP BY n.n_name"
     ),
-    "events_distinct_users": (
-        "SELECT event_type, count(DISTINCT user_id) AS n_users "
-        "FROM events GROUP BY event_type"
-    ),
+    # table profiler: per-column stats re-derived column by column (the
+    # min/max renderings are CAST-to-VARCHAR for ints, epoch_us for
+    # timestamps, identity for strings — float min/max absent by design),
+    # plus the grouped exact-distinct rows the former events_distinct_users
+    # entry carried. Built by _profile_oracle_sql() below the dict.
+    "events_profile": None,  # filled in right after the dict literal
     "tpch_group_aggs": (
         "SELECT 'orders_monthly' AS part, strftime(o_orderdate, '%Y-%m') AS grp, "
         "count(*) AS n, "
@@ -2297,3 +2338,59 @@ ORACLE = {
         "CAST(b.embedding AS DOUBLE[])) >= 0.4"
     ),
 }
+
+
+def _profile_oracle_sql() -> str:
+    """Generated long-format profile oracle over ``events`` — one UNION ALL
+    branch per (column, stat), matching q_events_profile row for row."""
+    cols = {
+        "event_id": "int",
+        "ts": "ts",
+        "user_id": "int",
+        "event_type": "str",
+        "value": "float",
+        "props": "str",
+    }
+    minmax = {
+        "int": ("CAST(min({c}) AS VARCHAR)", "CAST(max({c}) AS VARCHAR)"),
+        "ts": (
+            "CAST(epoch_us(min({c})) AS VARCHAR)",
+            "CAST(epoch_us(max({c})) AS VARCHAR)",
+        ),
+        "str": ("min({c})", "max({c})"),
+    }
+    parts = []
+    for c, t in cols.items():
+        parts.append(
+            f"SELECT 'profile' AS part, '{c}.n_rows' AS k, "
+            f"CAST(count(*) AS VARCHAR) AS v FROM events"
+        )
+        parts.append(
+            f"SELECT 'profile', '{c}.n_null', "
+            f"CAST(count(*) - count({c}) AS VARCHAR) FROM events"
+        )
+        parts.append(
+            f"SELECT 'profile', '{c}.n_distinct', "
+            f"CAST(count(DISTINCT {c}) AS VARCHAR) FROM events"
+        )
+        if t in minmax:  # float min/max unprofiled by design
+            mn, mx = minmax[t]
+            parts.append(
+                f"SELECT 'profile', '{c}.min_repr', "
+                + mn.format(c=c)
+                + " FROM events"
+            )
+            parts.append(
+                f"SELECT 'profile', '{c}.max_repr', "
+                + mx.format(c=c)
+                + " FROM events"
+            )
+    parts.append(
+        "SELECT 'distinct_users', event_type, "
+        "CAST(count(DISTINCT user_id) AS VARCHAR) FROM events "
+        "GROUP BY event_type"
+    )
+    return " UNION ALL ".join(parts)
+
+
+ORACLE["events_profile"] = _profile_oracle_sql()

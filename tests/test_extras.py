@@ -1128,3 +1128,56 @@ def test_bucket_jaccard_matrix_equals_pairwise():
                 if v >= thr:
                     want[(i, j)] = v
         assert got == want, thr
+
+
+def test_profile_table_hand_computed(ray_session):
+    """Per-column stats vs hand-derived truth on a table with nulls, a
+    negative int (the order-preserving key must not break), floats (no
+    min/max by design) and strings — and block-layout independence."""
+    import ray
+
+    from logparser_ray.stages.profile import profile_table
+
+    t = pa.table(
+        {
+            "i": pa.array([5, -3, None, 5, 12], pa.int64()),
+            "s": pa.array(["b", "a", "c", None, "a"], pa.string()),
+            "f": pa.array([1.5, 2.5, 1.5, None, 0.25], pa.float64()),
+        }
+    )
+    for blocks in (1, 4):
+        ds = ray.data.from_arrow(t).repartition(num_blocks=blocks)
+        got = profile_table(ds).to_pandas().set_index("col")
+        assert (got["n_rows"] == 5).all(), blocks
+        assert got.loc["i", "n_null"] == 1
+        assert got.loc["i", "n_distinct"] == 3
+        assert got.loc["i", "min_repr"] == "-3"
+        assert got.loc["i", "max_repr"] == "12"
+        assert got.loc["s", "n_distinct"] == 3
+        assert got.loc["s", "min_repr"] == "a"
+        assert got.loc["s", "max_repr"] == "c"
+        assert got.loc["f", "n_distinct"] == 3
+        assert got.loc["f", "min_repr"] is None
+        assert got.loc["f", "max_repr"] is None
+
+
+def test_profile_table_approx_distinct(ray_session):
+    """KMV mode: exact below k, within ~5% above k (50k distincts,
+    k=4096), and count columns identical to the exact mode."""
+    import ray
+
+    from logparser_ray.stages.profile import profile_table
+
+    n = 50_000
+    t = pa.table(
+        {
+            "u": pa.array([f"user{i}" for i in range(n)], pa.string()),
+            "small": pa.array([i % 40 for i in range(n)], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(num_blocks=6)
+    got = profile_table(ds, approx=True, kmv_k=4096).to_pandas().set_index("col")
+    assert got.loc["small", "n_distinct"] == 40  # exact below k
+    est = got.loc["u", "n_distinct"]
+    assert abs(est - n) / n < 0.05, est
+    assert (got["n_rows"] == n).all() and (got["n_null"] == 0).all()
