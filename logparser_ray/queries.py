@@ -1627,7 +1627,24 @@ def q_events_sketches_exact(sf_dir: str):
             "count_max": bq["n_le"].astype("int64"),
         }
     )
-    return pd.concat([hh, du, qrows], ignore_index=True)
+    # round 4: per-group rank statistics (the per-tenant-percentile shape)
+    # — same deterministic binned-histogram contract, partitioned by
+    # event_type, so the oracle pins the grouped merge algebra too
+    from logparser_ray.stages.sketch import binned_quantiles_by
+
+    gq = binned_quantiles_by(
+        ev, "value", by="event_type", width=10.0, qs=(0.5, 0.95, 0.99)
+    )
+    grows = pd.DataFrame(
+        {
+            "part": "q_value_by_type",
+            "v": gq["grp"].astype(str) + ":" + gq["q"],
+            "is_null": False,
+            "count_min": gq["bin"].astype("int64"),
+            "count_max": gq["n_le"].astype("int64"),
+        }
+    )
+    return pd.concat([hh, du, qrows, grows], ignore_index=True)
 
 
 def _fit_drain(ds):
@@ -2313,7 +2330,21 @@ ORACLE = {
         "  SELECT qv.v AS v, min(qcum.bin) AS bin "
         "  FROM (VALUES ('0.5', 0.5), ('0.95', 0.95), ('0.99', 0.99)) "
         "       AS qv(v, q), qtot, qcum "
-        "  WHERE qcum.c >= ceil(qv.q * qtot.t) GROUP BY qv.v) "
+        "  WHERE qcum.c >= ceil(qv.q * qtot.t) GROUP BY qv.v), "
+        "gbins AS ("
+        "  SELECT event_type AS g, CAST(floor(value / 10.0) AS BIGINT) AS bin, "
+        "         CAST(count(*) AS BIGINT) AS n "
+        "  FROM events WHERE value IS NOT NULL GROUP BY 1, 2), "
+        "gcum AS ("
+        "  SELECT g, bin, CAST(sum(n) OVER (PARTITION BY g ORDER BY bin) "
+        "  AS BIGINT) AS c FROM gbins), "
+        "gtot AS (SELECT g, CAST(sum(n) AS BIGINT) AS t FROM gbins GROUP BY g), "
+        "gpick AS ("
+        "  SELECT gcum.g AS g, qv.v AS v, min(gcum.bin) AS bin "
+        "  FROM (VALUES ('0.5', 0.5), ('0.95', 0.95), ('0.99', 0.99)) "
+        "       AS qv(v, q), gtot, gcum "
+        "  WHERE gcum.g = gtot.g AND gcum.c >= ceil(qv.q * gtot.t) "
+        "  GROUP BY gcum.g, qv.v) "
         "SELECT 'hh_event_type' AS part, "
         "  coalesce(CAST(event_type AS VARCHAR), '') AS v, "
         "  event_type IS NULL AS is_null, "
@@ -2327,7 +2358,12 @@ ORACLE = {
         "UNION ALL "
         "SELECT 'q_value_bin', qpick.v, FALSE, qpick.bin, "
         "  (SELECT c FROM qcum WHERE qcum.bin = qpick.bin) "
-        "FROM qpick"
+        "FROM qpick "
+        "UNION ALL "
+        "SELECT 'q_value_by_type', gpick.g || ':' || gpick.v, FALSE, "
+        "  gpick.bin, (SELECT c FROM gcum WHERE gcum.g = gpick.g "
+        "              AND gcum.bin = gpick.bin) "
+        "FROM gpick"
     ),
     "embeddings_near_dupes": (
         "SELECT a.vec_id AS a, b.vec_id AS b, "

@@ -201,3 +201,66 @@ def binned_quantiles(
             }
         )
     return pd.DataFrame(rows)
+
+
+def binned_quantiles_by(
+    ds,
+    col: str,
+    *,
+    by: str,
+    width: float,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> pd.DataFrame:
+    """Per-group binned rank statistics — ``binned_quantiles`` partitioned
+    by a (low-cardinality) dimension column: the per-tenant / per-endpoint
+    latency-percentile shape.
+
+    Per batch: ``(group, bin)`` bincounts — tiny mergeable partials; ONE
+    group×bin-sized Ray aggregation merges them (the exchange moves
+    summary rows, never values), and the driver resolves ranks over the
+    n_groups × n_bins histogram. ``by`` must be dashboard-dimension
+    cardinality (event types, tenants, status codes); a high-cardinality
+    key makes the histogram itself data-scale — use the windowed
+    operators for that. Same determinism contract as the global version:
+    ``floor(value/width)`` bins, rank ``ceil(q·n_g)`` per group — every
+    engine reproduces the integers bit-for-bit.
+
+    Returns one row per (group, q): ``(grp, q, bin, n_le, n_total)``.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"grp": b[by], "v": b[col]}).drop_null()
+        v = t["v"].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        bins = np.floor(v / width).astype(np.int64)
+        g = pa.table({"grp": t["grp"], "bin": pa.array(bins)})
+        agg = g.group_by(["grp", "bin"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["grp", "bin", "n"])
+
+    hist = (
+        ds.select_columns([by, col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["grp", "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # n_groups × n_bins — summary-scale by contract
+        .sort_values(["grp", "bin"])
+    )
+    rows = []
+    for grp, gdf in hist.groupby("grp", sort=True):
+        cum = gdf["n"].cumsum().to_numpy(np.int64)
+        tot = int(cum[-1])
+        for q in qs:
+            rank = math.ceil(q * tot)
+            idx = int(np.searchsorted(cum, rank, side="left"))
+            rows.append(
+                {
+                    "grp": grp,
+                    "q": f"{q}",
+                    "bin": int(gdf["bin"].iloc[idx]),
+                    "n_le": int(cum[idx]),
+                    "n_total": tot,
+                }
+            )
+    return pd.DataFrame(rows)

@@ -1181,3 +1181,37 @@ def test_profile_table_approx_distinct(ray_session):
     est = got.loc["u", "n_distinct"]
     assert abs(est - n) / n < 0.05, est
     assert (got["n_rows"] == n).all() and (got["n_null"] == 0).all()
+
+
+def test_binned_quantiles_by_hand_computed(ray_session):
+    """Per-group binned ranks vs a hand-derived reference, block-layout
+    independent (mergeable (group, bin) partials)."""
+    import ray
+
+    from logparser_ray.stages.sketch import binned_quantiles_by
+
+    rng = np.random.default_rng(9)
+    vals = rng.uniform(0, 100, size=3000)
+    grps = np.where(np.arange(3000) % 3 == 0, "a", "b")
+    t = pa.table({"g": pa.array(grps.astype(object), pa.string()), "v": vals})
+    want = {}
+    import math
+
+    for g in ("a", "b"):
+        v = vals[grps == g]
+        bins = np.floor(v / 5.0).astype(np.int64)
+        ub, cnt = np.unique(bins, return_counts=True)
+        cum = np.cumsum(cnt)
+        for q in (0.5, 0.95):
+            idx = int(np.searchsorted(cum, math.ceil(q * len(v)), side="left"))
+            want[(g, f"{q}")] = (int(ub[idx]), int(cum[idx]), len(v))
+    for blocks in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(num_blocks=blocks)
+        got = binned_quantiles_by(ds, "v", by="g", width=5.0, qs=(0.5, 0.95))
+        assert len(got) == 4, blocks
+        for _, r in got.iterrows():
+            wb, wle, wtot = want[(r["grp"], r["q"])]
+            assert (r["bin"], r["n_le"], r["n_total"]) == (wb, wle, wtot), (
+                blocks,
+                r.to_dict(),
+            )
