@@ -1102,19 +1102,29 @@ def q_embeddings_rp_knn(sf_dir: str):
 
 
 def q_embeddings_ann_approx(sf_dir: str):
-    """Tagged union of the four APPROXIMATE ANN paths (recall<1 / lossy
+    """Tagged union of the five APPROXIMATE ANN paths (recall<1 / lossy
     by construction → rows-only): LSH-bucketed top-k, IVF top-k,
-    LSH-bucketed near-dup pairs, and JL-projected top-k. One
-    driver-audited entry covering all four (their exactness properties —
-    subset-of-brute-force, identical cosines, JL distortion bounds — are
-    pinned by pytest)."""
+    LSH-bucketed near-dup pairs, JL-projected top-k, and PQ asymmetric-
+    distance top-k. One driver-audited entry covering all five (their
+    exactness/recall properties — subset-of-brute-force, identical
+    cosines, JL distortion bounds, PQ determinism+self-hit — are pinned
+    by pytest)."""
     import pandas as pd
 
     lsh = q_embeddings_lsh_knn(sf_dir)
     ivf = q_embeddings_ivf_knn(sf_dir)
     nd = q_embeddings_near_dupes_lsh(sf_dir)
     rp = q_embeddings_rp_knn(sf_dir)
+    pq = q_embeddings_pq_knn(sf_dir)
     parts = [
+        pd.DataFrame(
+            {
+                "method": "pq_knn",
+                "a": pq["query_idx"].astype("int64"),
+                "b": pq["vec_id"].astype("int64"),
+                "val": np.floor(pq["score"] * 10_000 + 0.5).astype("int64"),
+            }
+        ),
         pd.DataFrame(
             {
                 "method": "rp_knn",
@@ -1166,6 +1176,17 @@ def q_embeddings_ivf_knn(sf_dir: str):
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     centroids = kmeans_fit(ds, k=8, iters=5)
     return ivf_topk(ds, _query_vec(sf_dir), centroids, k=5, n_probe=2)
+
+
+def q_embeddings_pq_knn(sf_dir: str):
+    """Product-quantization ANN (round 4): 32x-compressed asymmetric-
+    distance search — codebooks fit on the bounded deterministic sample,
+    per-batch encode+LUT scan (stages/similarity.py:pq_fit/pq_topk)."""
+    from logparser_ray.stages.similarity import pq_fit, pq_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    books = pq_fit(ds, m=8, nbits=6, iters=8)
+    return pq_topk(ds, _query_vec(sf_dir), books, k=5)
 
 
 def q_embeddings_near_dupes_lsh(sf_dir: str):

@@ -383,3 +383,129 @@ def ivf_topk(
         prune, batch_format="pyarrow", zero_copy_batch=True
     )
     return brute_force_topk(pruned, query, k=k)
+
+
+def pq_fit(
+    ds,
+    *,
+    m: int = 8,
+    nbits: int = 5,
+    iters: int = 10,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    n_fit: int = 65_536,
+) -> np.ndarray:
+    """Product-quantization codebooks: the (normalized) embedding splits
+    into ``m`` contiguous subvectors, each quantized by its own Lloyd's
+    k-means with ``2**nbits`` codes — the classic 100 TB vector-store
+    compression (Jégou et al., "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011): a vector stores as ``m`` code bytes instead of
+    ``4·d`` floats (32× at d=64, m=8, nbits≤8).
+
+    Fits on the same bounded deterministic min-k-by-hash sample the IVF
+    quantizer uses (nothing corpus-scale materializes; centroids init from
+    the smallest sampled ids' subvectors → fully deterministic). Returns
+    ``(m, 2**nbits, d//m)`` float64. ``d % m == 0`` required.
+    """
+    from logparser_ray.stages.sample import sample_min_k_by_hash
+
+    samp = sample_min_k_by_hash(
+        ds, cols=[id_col, "embedding"], key_col=id_col, n=n_fit, seed=seed,
+        as_arrow=True,
+    )
+    ids = samp[id_col].to_numpy(zero_copy_only=False)
+    emb = _normalize(_emb_matrix(samp["embedding"]))
+    d = emb.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    ncodes = min(1 << nbits, len(ids))
+    order = np.argsort(ids)
+    books = np.empty((m, ncodes, sub), dtype=np.float64)
+    for s in range(m):
+        x = emb[:, s * sub : (s + 1) * sub]
+        c = x[order[:ncodes]].copy()
+        for _ in range(iters):
+            # L2 assignment: argmin ||x - c||² = argmin (||c||² - 2 x·c)
+            d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (x @ c.T)
+            assign = np.argmin(d2, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, x)
+            counts = np.bincount(assign, minlength=ncodes)
+            new = c.copy()
+            nz = counts > 0  # empty code keeps its centroid (deterministic)
+            new[nz] = sums[nz] / counts[nz, None]
+            if np.allclose(new, c, atol=1e-9):
+                c = new
+                break
+            c = new
+        books[s] = c
+    return books
+
+
+def pq_topk(
+    ds,
+    query: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+):
+    """Asymmetric-distance PQ search: per batch, each vector encodes to its
+    ``m`` nearest sub-centroids (pure matmuls) and scores against the query
+    through a tiny per-query lookup table of partial inner products
+    (``m × 2**nbits`` floats) — the query stays full-precision, vectors are
+    code-compressed, which is ADC in the PQ literature. Only per-batch
+    top-k partials leave the workers (same driver reduction as
+    ``brute_force_topk``). Returns (query_idx, vec_id, score) with
+    ``score`` the PQ-approximate cosine, rounded to 4.
+    """
+    query = np.atleast_2d(np.asarray(query, dtype=np.float64))
+    qn = _normalize(query)
+    m, ncodes, sub = codebooks.shape
+    # LUT[qi, s, code] = q_sub · c — score(x) = Σ_s LUT[qi, s, code_s(x)]
+    lut = np.einsum("qsd,scd->qsc", qn.reshape(qn.shape[0], m, sub), codebooks)
+    cref = ray.put((codebooks, lut))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        books, lut_ = ray.get(cref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        emb = _normalize(_emb_matrix(batch["embedding"]))
+        n = emb.shape[0]
+        codes = np.empty((n, m), dtype=np.int64)
+        for s in range(m):
+            x = emb[:, s * sub : (s + 1) * sub]
+            c = books[s]
+            d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (x @ c.T)
+            codes[:, s] = np.argmin(d2, axis=1)
+        nq = lut_.shape[0]
+        out_q, out_ids, out_s = [], [], []
+        for qi in range(nq):
+            score = lut_[qi][np.arange(m)[None, :], codes].sum(axis=1)
+            kk = min(k, n)
+            top = (
+                np.argpartition(-score, kk - 1)[:kk] if kk < n else np.arange(n)
+            )
+            out_q.append(np.full(len(top), qi, dtype=np.int32))
+            out_ids.append(ids[top])
+            out_s.append(score[top])
+        return pa.table(
+            {
+                "query_idx": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_ids)),
+                "score": pa.array(np.concatenate(out_s).astype(np.float64)),
+            }
+        )
+
+    partials = ds.select_columns([id_col, "embedding"]).map_batches(
+        scan, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    out = (
+        partials.sort_values(
+            ["query_idx", "score", id_col], ascending=[True, False, True]
+        )
+        .groupby("query_idx", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["score"] = np.round(out["score"].to_numpy(), 4)
+    return out
