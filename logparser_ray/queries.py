@@ -1425,7 +1425,23 @@ def q_docs_sampling(sf_dir: str):
         .select_columns(["source", "doc_id"])
         .to_pandas()
     )
+    # round 4: deterministic train/val/test split labels (split_by_hash —
+    # md5-threshold buckets in label order, zero shuffle), every doc one row
+    from logparser_ray.stages.sample import split_by_hash
+
+    spl = (
+        split_by_hash(ds, key_col="text", ratios=SPLIT_RATIOS, salt="r4")
+        .select_columns(["doc_id", "split"])
+        .to_pandas()
+    )
     parts = [
+        pd.DataFrame(
+            {
+                "part": "split",
+                "grp": spl["split"].astype(str),
+                "doc_id": spl["doc_id"].astype("int64"),
+            }
+        ),
         pd.DataFrame(
             {
                 "part": "stratified",
@@ -1451,6 +1467,10 @@ def q_docs_sampling(sf_dir: str):
 # Pile-style mixture weights for the sampling query — keys are the fixture
 # `source` values; thresholds must match the SQL oracle's hex literals
 MIXTURE_RATES = {"src0": 0.75, "src1": 0.25, "src2": 0.5}
+
+# train/val/test ratios for the deterministic splitter — label order is
+# threshold order; the oracle CASE is generated from the same dict
+SPLIT_RATIOS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
 def q_docs_decontaminate(sf_dir: str):
@@ -2004,7 +2024,15 @@ ORACLE = {
             f"WHEN '{g}' THEN '{format(min(int(r * (1 << 32)), (1 << 32) - 1), '08x')}'"
             for g, r in sorted(MIXTURE_RATES.items())
         )
-        + " ELSE '0ccccccc' END)"
+        + " ELSE '0ccccccc' END) "
+        "UNION ALL "
+        "SELECT 'split' AS part, (CASE "
+        "WHEN substr(md5(text || 'r4'), 1, 8) < '"
+        + format(min(int(0.8 * (1 << 32)), (1 << 32) - 1), "08x")
+        + "' THEN 'train' "
+        "WHEN substr(md5(text || 'r4'), 1, 8) < '"
+        + format(min(int(0.9 * (1 << 32)), (1 << 32) - 1), "08x")
+        + "' THEN 'val' ELSE 'test' END) AS grp, doc_id FROM documents"
     ),
     # curation gate + PII redaction: the synthetic PII suffix is built
     # identically on both sides; redacted_md5 pins the exact RE2 rewrite

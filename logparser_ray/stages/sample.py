@@ -248,3 +248,51 @@ def sample_stratified(
         .sort_values([group_col, tiebreak_col], kind="mergesort")
         .reset_index(drop=True)
     )
+
+
+def split_by_hash(
+    ds,
+    *,
+    key_col: str,
+    ratios: "dict[str, float]",
+    salt: str = "",
+    out_col: str = "split",
+):
+    """Deterministic train/val/test splitting: each row's split label is a
+    pure function of ``md5(key || salt)`` — reproducible across runs,
+    engines, cluster sizes and block layouts, and ZERO shuffle (one
+    streaming ``map_batches`` pass appending ``out_col``).
+
+    ``ratios`` assigns labels by cumulative md5-hex-prefix thresholds in
+    dict (insertion) order; they should sum to 1.0 (the LAST label absorbs
+    any rounding remainder and all null keys — exactly SQL's ``ELSE``).
+    SQL parity: ``CASE WHEN substr(md5(key || salt), 1, 8) < '<t1>' THEN
+    l1 WHEN ... ELSE l_last END``. ``salt`` re-draws the whole split
+    (e.g. per experiment) without touching the data.
+    """
+    import hashlib
+
+    labels = list(ratios)
+    if len(labels) < 2:
+        raise ValueError("need at least two split labels")
+    cum = 0.0
+    thrs: list[str] = []
+    for lbl in labels[:-1]:
+        cum += ratios[lbl]
+        thrs.append(format(min(int(cum * (1 << 32)), (1 << 32) - 1), "08x"))
+    thr_arr = np.array(thrs, dtype=object)
+    label_arr = np.array(labels, dtype=object)
+
+    def assign(b: pa.Table) -> pa.Table:
+        keys = b[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+        idx = np.empty(len(keys), dtype=np.int64)
+        for i, k in enumerate(keys):
+            if k is None:
+                idx[i] = len(labels) - 1  # SQL ELSE: null draw → last label
+                continue
+            pref = hashlib.md5((k + salt).encode("utf-8")).hexdigest()[:8]
+            # first threshold strictly above the draw = the label bucket
+            idx[i] = np.searchsorted(thr_arr, pref, side="right")
+        return b.append_column(out_col, pa.array(label_arr[idx], pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

@@ -278,3 +278,55 @@ def test_pack_sequences_plan_has_no_shuffle(ray_session):
     stats = out.stats()
     assert "sort" not in stats.lower()
     assert "shuffle" not in stats.lower()
+
+
+def test_split_by_hash_deterministic_and_proportional(ray_session):
+    """Deterministic splitting: exact md5-rule parity, label fractions near
+    the ratios, null keys land in the LAST label (SQL ELSE parity), salt
+    re-draws, and block layout changes nothing."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray
+
+    from logparser_ray.stages.sample import split_by_hash
+
+    texts = [f"document number {i} text" for i in range(2_000)] + [None]
+    t = pa.table(
+        {"doc_id": list(range(len(texts))), "text": pa.array(texts, pa.string())}
+    )
+    ratios = {"train": 0.8, "val": 0.1, "test": 0.1}
+    outs = []
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(num_blocks=blocks)
+        got = (
+            split_by_hash(ds, key_col="text", ratios=ratios, salt="s")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        outs.append(got["split"].tolist())
+    assert outs[0] == outs[1]
+    got = outs[0]
+    # exact rule parity per row
+    t1 = format(int(0.8 * (1 << 32)), "08x")
+    t2 = format(int(0.9 * (1 << 32)), "08x")
+    for txt, lbl in zip(texts, got):
+        if txt is None:
+            assert lbl == "test"  # ELSE branch
+            continue
+        p = hashlib.md5((txt + "s").encode()).hexdigest()[:8]
+        want = "train" if p < t1 else ("val" if p < t2 else "test")
+        assert lbl == want
+    frac = pd.Series(got[:-1]).value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.04
+    assert abs(frac["val"] - 0.1) < 0.03
+    # a different salt re-draws the assignment
+    ds = ray.data.from_arrow(t)
+    got2 = (
+        split_by_hash(ds, key_col="text", ratios=ratios, salt="other")
+        .to_pandas()
+        .sort_values("doc_id")["split"]
+        .tolist()
+    )
+    assert got2 != got
