@@ -1102,10 +1102,10 @@ def q_embeddings_rp_knn(sf_dir: str):
 
 
 def q_embeddings_ann_approx(sf_dir: str):
-    """Tagged union of the five APPROXIMATE ANN paths (recall<1 / lossy
+    """Tagged union of the six APPROXIMATE ANN paths (recall<1 / lossy
     by construction → rows-only): LSH-bucketed top-k, IVF top-k,
-    LSH-bucketed near-dup pairs, JL-projected top-k, and PQ asymmetric-
-    distance top-k. One driver-audited entry covering all five (their
+    LSH-bucketed near-dup pairs, JL-projected top-k, PQ asymmetric-
+    distance top-k, and composed IVF-PQ. One driver-audited entry covering all six (their
     exactness/recall properties — subset-of-brute-force, identical
     cosines, JL distortion bounds, PQ determinism+self-hit — are pinned
     by pytest)."""
@@ -1116,7 +1116,16 @@ def q_embeddings_ann_approx(sf_dir: str):
     nd = q_embeddings_near_dupes_lsh(sf_dir)
     rp = q_embeddings_rp_knn(sf_dir)
     pq = q_embeddings_pq_knn(sf_dir)
+    ivfpq = q_embeddings_ivf_pq_knn(sf_dir)
     parts = [
+        pd.DataFrame(
+            {
+                "method": "ivf_pq_knn",
+                "a": ivfpq["query_idx"].astype("int64"),
+                "b": ivfpq["vec_id"].astype("int64"),
+                "val": np.floor(ivfpq["score"] * 10_000 + 0.5).astype("int64"),
+            }
+        ),
         pd.DataFrame(
             {
                 "method": "pq_knn",
@@ -1187,6 +1196,18 @@ def q_embeddings_pq_knn(sf_dir: str):
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     books = pq_fit(ds, m=8, nbits=6, iters=8)
     return pq_topk(ds, _query_vec(sf_dir), books, k=5)
+
+
+def q_embeddings_ivf_pq_knn(sf_dir: str):
+    """IVF-PQ (round 4): coarse-quantizer prune + PQ asymmetric-distance
+    scan — the classic billion-scale pairing, composed from the two
+    audited stages."""
+    from logparser_ray.stages.similarity import ivf_pq_topk, kmeans_fit, pq_fit
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cents = kmeans_fit(ds, k=8, iters=5)
+    books = pq_fit(ds, m=8, nbits=6, iters=8)
+    return ivf_pq_topk(ds, _query_vec(sf_dir), cents, books, k=5, n_probe=3)
 
 
 def q_embeddings_near_dupes_lsh(sf_dir: str):

