@@ -194,6 +194,12 @@ def main() -> int:
                         "shiso",
                         params={"max_children": 8, "merge_threshold": 0.1},
                     ),
+                    # 0.99 splits the zero-wildcard 'healthcheck ok'
+                    # look-alikes apart (0.89 → 1.00 at 0.95); 0.9
+                    # over-merges (0.37)
+                    "lenma": lambda ds: mine.fit_bank(
+                        ds, "lenma", params={"threshold": 0.95}
+                    ),
                 }
             )
         hrows = []
