@@ -1927,6 +1927,21 @@ assert len(QUERIES) <= 50, "driver audits only the first 50 registry entries"
 
 _STOPLIST_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
+def _split_oracle_case(digest_expr: str) -> str:
+    """CASE expression replicating ``split_by_hash(ratios=SPLIT_RATIOS)``:
+    cumulative thresholds accumulate in the SAME float order as the engine
+    (label order, not re-derived literals), so both sides floor identical
+    hex boundaries by construction."""
+    labels = list(SPLIT_RATIOS)
+    cum = 0.0
+    arms = []
+    for lbl in labels[:-1]:
+        cum += SPLIT_RATIOS[lbl]
+        thr = format(min(int(cum * (1 << 32)), (1 << 32) - 1), "08x")
+        arms.append(f"WHEN substr({digest_expr}, 1, 8) < '{thr}' THEN '{lbl}'")
+    return "CASE " + " ".join(arms) + f" ELSE '{labels[-1]}' END"
+
+
 ORACLE = {
     "events_by_type": "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
     "events_hourly": (
@@ -2047,13 +2062,12 @@ ORACLE = {
         )
         + " ELSE '0ccccccc' END) "
         "UNION ALL "
-        "SELECT 'split' AS part, (CASE "
-        "WHEN substr(md5(text || 'r4'), 1, 8) < '"
-        + format(min(int(0.8 * (1 << 32)), (1 << 32) - 1), "08x")
-        + "' THEN 'train' "
-        "WHEN substr(md5(text || 'r4'), 1, 8) < '"
-        + format(min(int(0.9 * (1 << 32)), (1 << 32) - 1), "08x")
-        + "' THEN 'val' ELSE 'test' END) AS grp, doc_id FROM documents"
+        "SELECT 'split' AS part, ("
+        # generated from SPLIT_RATIOS with the SAME float accumulation
+        # split_by_hash uses (editing the dict keeps both sides in step —
+        # review r4: hand-written 0.8/0.9 literals only matched by luck)
+        + _split_oracle_case("md5(text || 'r4')")
+        + ") AS grp, doc_id FROM documents"
     ),
     # curation gate + PII redaction: the synthetic PII suffix is built
     # identically on both sides; redacted_md5 pins the exact RE2 rewrite
@@ -2404,7 +2418,8 @@ ORACLE = {
         "gbins AS ("
         "  SELECT event_type AS g, CAST(floor(value / 10.0) AS BIGINT) AS bin, "
         "         CAST(count(*) AS BIGINT) AS n "
-        "  FROM events WHERE value IS NOT NULL GROUP BY 1, 2), "
+        "  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL "
+        "  GROUP BY 1, 2), "
         "gcum AS ("
         "  SELECT g, bin, CAST(sum(n) OVER (PARTITION BY g ORDER BY bin) "
         "  AS BIGINT) AS c FROM gbins), "

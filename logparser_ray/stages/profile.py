@@ -127,7 +127,6 @@ def profile_table(
 
     if approx:
         kmin: dict[str, np.ndarray] = {c: np.empty(0, np.uint64) for c in cols}
-        exact_small: dict[str, bool] = {}
 
         def kmv_partial(b: pa.Table) -> pa.Table:
             rows_c, rows_blob = [], []
@@ -150,13 +149,15 @@ def profile_table(
             merged = np.concatenate(
                 [kmin[c], np.frombuffer(blob, dtype="<u8")]
             )
-            kmin[c] = np.sort(np.unique(merged))[:kmv_k]
+            kmin[c] = np.unique(merged)[:kmv_k]  # unique() is sorted already
         n_distinct = {}
         for c, h in kmin.items():
             if len(h) < kmv_k:
                 n_distinct[c] = len(h)  # exact below k
             else:
-                n_distinct[c] = int(round((kmv_k - 1) * 2**64 / int(h[-1])))
+                # same estimator as sketch.approx_distinct: (k-1) / kth_norm
+                kth_norm = float(h[kmv_k - 1]) / float(2**64 - 1)
+                n_distinct[c] = int(round((kmv_k - 1) / kth_norm))
         stats["n_distinct"] = stats["col"].map(n_distinct).astype(np.int64)
     else:
         from ray.data.aggregate import Count

@@ -285,14 +285,22 @@ def split_by_hash(
 
     def assign(b: pa.Table) -> pa.Table:
         keys = b[key_col].combine_chunks().to_numpy(zero_copy_only=False)
-        idx = np.empty(len(keys), dtype=np.int64)
-        for i, k in enumerate(keys):
-            if k is None:
-                idx[i] = len(labels) - 1  # SQL ELSE: null draw → last label
-                continue
-            pref = hashlib.md5((k + salt).encode("utf-8")).hexdigest()[:8]
-            # first threshold strictly above the draw = the label bucket
-            idx[i] = np.searchsorted(thr_arr, pref, side="right")
+        null_mask = np.array([k is None for k in keys], dtype=bool)
+        # md5 is per-row by necessity (SQL-parity digest — same convention
+        # as sample_by_rates); the bucket lookup is ONE vectorized
+        # searchsorted over the batch, not a per-row dispatch (review r4)
+        prefs = np.array(
+            [
+                ""
+                if k is None
+                else hashlib.md5((k + salt).encode("utf-8")).hexdigest()[:8]
+                for k in keys
+            ],
+            dtype=object,
+        )
+        # first threshold strictly above each draw = its label bucket
+        idx = np.searchsorted(thr_arr, prefs, side="right")
+        idx[null_mask] = len(labels) - 1  # SQL ELSE: null draw → last label
         return b.append_column(out_col, pa.array(label_arr[idx], pa.string()))
 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

@@ -353,19 +353,13 @@ def kmeans_fit(
     return centroids
 
 
-def ivf_topk(
-    ds,
-    query: np.ndarray,
-    centroids: np.ndarray,
-    k: int = 5,
-    n_probe: int = 2,
-    id_col: str = "vec_id",
-):
-    """IVF search: score only vectors whose nearest centroid is among the
-    query's ``n_probe`` closest centroids — the coarse-quantizer pruning
-    that bounds scanned vectors to ~n_probe/k of the corpus at 100 TB."""
-    query = np.atleast_2d(np.asarray(query, dtype=np.float64))
-    qn = _normalize(query)
+def _ivf_prune(ds, query: np.ndarray, centroids: np.ndarray, n_probe: int, id_col: str):
+    """Shared IVF coarse-quantizer prune: keep only vectors whose nearest
+    centroid is among the query's ``n_probe`` closest (one vectorized
+    assignment matmul per batch; centroids broadcast once). Both IVF
+    searches compose with this — one copy of the subtle bits (argmax on
+    normalized embeddings, argsort ties, sorted probe array)."""
+    qn = _normalize(np.atleast_2d(np.asarray(query, dtype=np.float64)))
     probe = set(
         np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe].reshape(-1).tolist()
     )
@@ -379,9 +373,24 @@ def ivf_topk(
         keep = np.isin(assign, probe_arr)
         return batch.filter(pa.array(keep))
 
-    pruned = ds.select_columns([id_col, "embedding"]).map_batches(
+    return ds.select_columns([id_col, "embedding"]).map_batches(
         prune, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def ivf_topk(
+    ds,
+    query: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+):
+    """IVF search: score only vectors whose nearest centroid is among the
+    query's ``n_probe`` closest centroids — the coarse-quantizer pruning
+    that bounds scanned vectors to ~n_probe/k of the corpus at 100 TB."""
+    query = np.atleast_2d(np.asarray(query, dtype=np.float64))
+    pruned = _ivf_prune(ds, query, centroids, n_probe, id_col)
     return brute_force_topk(pruned, query, k=k)
 
 
@@ -482,9 +491,16 @@ def pq_topk(
         for qi in range(nq):
             score = lut_[qi][np.arange(m)[None, :], codes].sum(axis=1)
             kk = min(k, n)
-            top = (
-                np.argpartition(-score, kk - 1)[:kk] if kk < n else np.arange(n)
-            )
+            if kk < n:
+                # keep EVERY row tied with the kk-th score: PQ ties are
+                # common (code-identical vectors score bit-identically),
+                # and dropping an arbitrary tied candidate here would make
+                # the driver's (score desc, id asc) pick depend on block
+                # layout (review r4)
+                thresh = np.partition(score, n - kk)[n - kk]
+                top = np.flatnonzero(score >= thresh)
+            else:
+                top = np.arange(n)
             out_q.append(np.full(len(top), qi, dtype=np.int32))
             out_ids.append(ids[top])
             out_s.append(score[top])
@@ -529,21 +545,5 @@ def ivf_pq_topk(
     two audited stages — the prune is ``ivf_topk``'s filter, the scan is
     ``pq_topk``; returns (query_idx, vec_id, score)."""
     query = np.atleast_2d(np.asarray(query, dtype=np.float64))
-    qn = _normalize(query)
-    probe = set(
-        np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe].reshape(-1).tolist()
-    )
-    cref = ray.put(centroids)
-    probe_arr = np.array(sorted(probe))
-
-    def prune(batch: pa.Table) -> pa.Table:
-        c = ray.get(cref)
-        emb = _normalize(_emb_matrix(batch["embedding"]))
-        assign = np.argmax(emb @ c.T, axis=1)
-        keep = np.isin(assign, probe_arr)
-        return batch.filter(pa.array(keep))
-
-    pruned = ds.select_columns([id_col, "embedding"]).map_batches(
-        prune, batch_format="pyarrow", zero_copy_batch=True
-    )
+    pruned = _ivf_prune(ds, query, centroids, n_probe, id_col)
     return pq_topk(pruned, query, codebooks, k=k, id_col=id_col)

@@ -221,7 +221,9 @@ def binned_quantiles_by(
     n_groups × n_bins histogram. ``by`` must be dashboard-dimension
     cardinality (event types, tenants, status codes); a high-cardinality
     key makes the histogram itself data-scale — use the windowed
-    operators for that. Same determinism contract as the global version:
+    operators for that. Rows with a NULL group key or NULL value are
+    excluded by contract (the paired SQL oracle filters both). Same
+    determinism contract as the global version:
     ``floor(value/width)`` bins, rank ``ceil(q·n_g)`` per group — every
     engine reproduces the integers bit-for-bit.
 
@@ -245,8 +247,12 @@ def binned_quantiles_by(
         .groupby(["grp", "bin"])
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()  # n_groups × n_bins — summary-scale by contract
-        .sort_values(["grp", "bin"])
     )
+    if len(hist) == 0:  # empty/all-null input → empty frame, not a crash
+        return pd.DataFrame(
+            {"grp": [], "q": [], "bin": [], "n_le": [], "n_total": []}
+        )
+    hist = hist.sort_values(["grp", "bin"])
     rows = []
     for grp, gdf in hist.groupby("grp", sort=True):
         cum = gdf["n"].cumsum().to_numpy(np.int64)

@@ -1277,3 +1277,33 @@ def test_ivf_pq_composition(ray_session):
     for vid, sc in zip(got["vec_id"], got["score"]):
         if vid in pq_scores:
             assert pq_scores[vid] == sc, vid
+
+
+def test_binned_quantiles_by_all_null_and_null_groups(ray_session):
+    """All-null values → empty frame (not a crash); null group keys are
+    excluded by contract (mirroring the oracle's IS NOT NULL filters)."""
+    import ray
+
+    from logparser_ray.stages.sketch import binned_quantiles_by
+
+    allnull = pa.table(
+        {
+            "g": pa.array(["a", "b"], pa.string()),
+            "v": pa.array([None, None], pa.float64()),
+        }
+    )
+    out = binned_quantiles_by(
+        ray.data.from_arrow(allnull), "v", by="g", width=1.0
+    )
+    assert len(out) == 0
+    mixed = pa.table(
+        {
+            "g": pa.array(["a", None, "a"], pa.string()),
+            "v": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        }
+    )
+    out = binned_quantiles_by(
+        ray.data.from_arrow(mixed), "v", by="g", width=1.0, qs=(0.5,)
+    )
+    assert set(out["grp"]) == {"a"}
+    assert out["n_total"].iloc[0] == 2  # the null-group row is excluded
