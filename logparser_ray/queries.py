@@ -168,8 +168,47 @@ def q_docs_word_freq_topk(sf_dir: str):
 
 
 def q_docs_dedup_exact(sf_dir: str):
+    """Exact dedup representatives UNIONED with C4-style span dedup
+    (round 4, ``dedup_spans``): part='doc' carries (representative id,
+    n_copies); part='span' carries each surviving doc's (n_kept,
+    n_dropped) and the md5 of its REASSEMBLED text — the digest pins the
+    chunk-keep/reassembly semantics byte-for-byte against DuckDB's
+    row_number + string_agg re-derivation."""
+    import hashlib
+
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return exact_dedup_representatives(ds)
+    reps = exact_dedup_representatives(ds).to_pandas()
+    from logparser_ray.stages.dedup import dedup_spans
+
+    spans = dedup_spans(
+        ds, span_tokens=10, n_rows=_parquet_rows(sf_dir, "documents")
+    ).to_pandas()
+    import pandas as pd
+
+    doc_part = pd.DataFrame(
+        {
+            "part": "doc",
+            "doc_id": reps["doc_id"].astype("int64"),
+            "a": reps["n_copies"].astype("int64"),
+            "b": 0,
+            "h": "",
+        }
+    )
+    span_part = pd.DataFrame(
+        {
+            "part": "span",
+            "doc_id": spans["doc_id"].astype("int64"),
+            "a": spans["n_kept"].astype("int64"),
+            "b": spans["n_dropped"].astype("int64"),
+            "h": [
+                hashlib.md5(t.encode("utf-8")).hexdigest()
+                for t in spans["text_dedup"]
+            ],
+        }
+    )
+    out = pd.concat([doc_part, span_part], ignore_index=True)
+    out["b"] = out["b"].astype("int64")
+    return out
 
 
 def q_docs_lang_profile(sf_dir: str):
@@ -2038,8 +2077,27 @@ ORACLE = {
         "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) "
         "GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20"
     ),
+    # part='doc': exact representatives; part='span': C4-style 10-token
+    # span dedup re-derived via row_number over chunk occurrences +
+    # string_agg reassembly — md5(text) pins the rebuilt text exactly
     "docs_dedup_exact": (
-        "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text"
+        "WITH reps AS (SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n "
+        "  FROM documents GROUP BY text), "
+        "toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), "
+        "chunks AS (SELECT doc_id, i AS cidx, "
+        "  array_to_string(tk[(i * 10 + 1):(i * 10 + 10)], ' ') AS chunk, "
+        "  CAST(ceil(len(tk) / 10.0) AS BIGINT) AS n_total "
+        "  FROM toks, unnest(range(0, CAST(ceil(len(tk) / 10.0) AS BIGINT))) "
+        "  AS r(i)), "
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY chunk "
+        "  ORDER BY doc_id, cidx) AS rn FROM chunks), "
+        "spans AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY cidx) AS txt, "
+        "  count(*)::BIGINT AS n_kept, max(n_total) - count(*)::BIGINT "
+        "  AS n_dropped FROM ranked WHERE rn = 1 GROUP BY doc_id) "
+        "SELECT 'doc' AS part, doc_id, n AS a, CAST(0 AS BIGINT) AS b, "
+        "  '' AS h FROM reps "
+        "UNION ALL "
+        "SELECT 'span', doc_id, n_kept, n_dropped, md5(txt) FROM spans"
     ),
     # the md5 hex digest is the shared deterministic ordering key: DuckDB's
     # md5(text) emits the identical lowercase hex the Ray operator computes

@@ -1011,3 +1011,238 @@ def dedup_against_prior(
     # internal first-per-hash dedup of the survivors (min id wins) — reuse
     # the existing representative aggregation on the already-filtered rows
     return exact_dedup_representatives(filtered, id_col=id_col, text_col=text_col)
+
+
+def _span_chunks(texts, span_tokens: int):
+    """Vectorized non-overlapping ``span_tokens``-token chunking of a batch:
+    one split, then ``ceil(max_len/k)`` ``list_slice`` + ``binary_join``
+    vector ops — no per-row Python. Returns (per-chunk-index list of
+    (chunk_strings, row_mask), tokens_per_row)."""
+    toks = pc.split_pattern(texts, " ")
+    offsets = np.asarray(toks.offsets, dtype=np.int64)
+    lengths = offsets[1:] - offsets[:-1]
+    max_chunks = int(np.ceil(lengths.max() / span_tokens)) if len(lengths) else 0
+    out = []
+    for i in range(max_chunks):
+        sl = pc.list_slice(toks, i * span_tokens, (i + 1) * span_tokens)
+        joined = pc.binary_join(sl, " ")
+        mask = lengths > i * span_tokens
+        out.append((joined, mask))
+    return out, lengths
+
+
+def dedup_spans(
+    ds,
+    *,
+    span_tokens: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    winners_max_bytes: int = 256 << 20,
+    num_partitions: int | None = None,
+    n_rows: int | None = None,
+):
+    """C4-style intra-corpus SPAN dedup (Raffel et al. 2020 deduplicate
+    repeated three-sentence spans; with no sentence structure the span is a
+    fixed ``span_tokens``-token non-overlapping chunk): every chunk keeps
+    only its FIRST occurrence in ``(doc_id, chunk_idx)`` order and each doc
+    reassembles from its surviving chunks — docs whose every chunk repeats
+    earlier text drop out entirely.
+
+    Scale shape (the exact-dedup discipline applied per span): phase 1
+    ships 24 B/chunk ``(hash128, occurrence_key)`` partials through one
+    grouped Min aggregation — the winner of each distinct chunk is the
+    minimum ``doc_id·10⁶ + chunk_idx`` key, so block layout can never
+    change the outcome. Phase 2 re-chunks each doc IN ITS OWN BATCH and
+    keeps chunks whose key is in the winner set: broadcast ``pc.is_in``
+    under ``winners_max_bytes`` (8 B per distinct chunk), distributed
+    semi-join + one keyed exchange on ``id_col`` past it. Reassembly is
+    batch-local either way (a doc's chunks never leave its row).
+
+    Returns a Dataset ``(id_col, text_dedup, n_kept, n_dropped)`` without
+    fully-deduplicated docs. Requires integer ids < 2⁴³ and docs shorter
+    than 10⁶ chunks (asserted).
+    """
+    from ray.data.aggregate import Min
+
+    if n_rows is None:
+        n_rows = ds.count()
+
+    KEY_SCALE = 1_000_000
+
+    def chunk_partials(b: pa.Table) -> pa.Table:
+        texts = b[text_col].combine_chunks()
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        assert (np.abs(ids) < (1 << 43)).all(), "doc ids too large for span keys"
+        chunks, lengths = _span_chunks(texts, span_tokens)
+        h1s, h2s, keys = [], [], []
+        for i, (joined, mask) in enumerate(chunks):
+            vals = joined.to_numpy(zero_copy_only=False)[mask]
+            if not len(vals):
+                continue
+            h1s.append(pd.util.hash_array(vals, hash_key="rayparse-span-01"))
+            h2s.append(pd.util.hash_array(vals, hash_key="rayparse-span-02"))
+            keys.append(ids[mask] * KEY_SCALE + i)
+        if not h1s:
+            return pa.table(
+                {
+                    "_h1": pa.array([], pa.int64()),
+                    "_h2": pa.array([], pa.int64()),
+                    "key": pa.array([], pa.int64()),
+                }
+            )
+        t = pa.table(
+            {
+                "_h1": pa.array(np.concatenate(h1s).view(np.int64)),
+                "_h2": pa.array(np.concatenate(h2s).view(np.int64)),
+                "key": pa.array(np.concatenate(keys)),
+            }
+        )
+        # per-batch combiner: one candidate winner per distinct chunk
+        agg = t.group_by(["_h1", "_h2"]).aggregate([("key", "min")])
+        return agg.rename_columns(["_h1", "_h2", "key"])
+
+    winners = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(chunk_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["_h1", "_h2"], num_partitions=num_partitions)
+        .aggregate(Min("key", alias_name="key"))
+        .select_columns(["key"])
+    )
+
+    def reassemble(b: pa.Table, keep_keys) -> pa.Table:
+        texts = b[text_col].combine_chunks()
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        chunks, lengths = _span_chunks(texts, span_tokens)
+        n = len(ids)
+        parts = [[] for _ in range(n)]
+        n_total = np.zeros(n, np.int64)
+        n_kept = np.zeros(n, np.int64)
+        for i, (joined, mask) in enumerate(chunks):
+            keys = pa.array(ids * KEY_SCALE + i)
+            keep = np.asarray(
+                pc.and_(
+                    pc.is_in(keys, value_set=keep_keys), pa.array(mask)
+                ).fill_null(False)
+            )
+            n_total += mask.astype(np.int64)
+            n_kept += keep.astype(np.int64)
+            vals = joined.to_numpy(zero_copy_only=False)
+            for r in np.flatnonzero(keep):
+                parts[r].append(vals[r])
+        rows = np.flatnonzero(n_kept > 0)
+        return pa.table(
+            {
+                id_col: pa.array(ids[rows]),
+                "text_dedup": pa.array(
+                    [" ".join(parts[r]) for r in rows], pa.string()
+                ),
+                "n_kept": pa.array(n_kept[rows]),
+                "n_dropped": pa.array((n_total - n_kept)[rows]),
+            }
+        )
+
+    w_mat = winners.materialize()  # consumed once per branch below
+    if w_mat.count() * 8 <= winners_max_bytes:
+        keep_ref = ray.put(
+            pc.cast(
+                pa.concat_tables(ray.get(w_mat.to_arrow_refs()))["key"]
+                .combine_chunks(),
+                pa.int64(),
+            )
+        )
+
+        def keep_batch(b: pa.Table) -> pa.Table:
+            return reassemble(b, ray.get(keep_ref))
+
+        return ds.select_columns([id_col, text_col]).map_batches(
+            keep_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    # 100 TB fallback: winner keys too big to broadcast — semi-join the
+    # exploded (id, cidx, chunk) rows against winners, one keyed exchange
+    # on id_col, then the same batch-local reassembly per id-complete block
+    from logparser_ray.stages.exchange import hash_shuffle
+    from logparser_ray.stages.joins import join_num_partitions
+    from logparser_ray.stages.windows import _exchange_blocks
+
+    def explode(b: pa.Table) -> pa.Table:
+        texts = b[text_col].combine_chunks()
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        chunks, lengths = _span_chunks(texts, span_tokens)
+        rows_id, rows_c, rows_chunk, rows_tot = [], [], [], []
+        n_total = np.ceil(lengths / span_tokens).astype(np.int64)
+        for i, (joined, mask) in enumerate(chunks):
+            vals = joined.to_numpy(zero_copy_only=False)
+            idx = np.flatnonzero(mask)
+            rows_id.append(ids[idx])
+            rows_c.append(np.full(len(idx), i, np.int64))
+            rows_chunk.append(vals[idx])
+            rows_tot.append(n_total[idx])
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(rows_id)),
+                "cidx": pa.array(np.concatenate(rows_c)),
+                "chunk": pa.array(
+                    np.concatenate(rows_chunk).astype(object), pa.string()
+                ),
+                "n_total": pa.array(np.concatenate(rows_tot)),
+                "key": pa.array(
+                    np.concatenate(rows_id) * KEY_SCALE
+                    + np.concatenate(rows_c)
+                ),
+            }
+        )
+
+    exploded = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+    kept = exploded.join(
+        w_mat,
+        "inner",
+        num_partitions=join_num_partitions(n_rows * 8),
+        on=("key",),
+    )
+
+    def rebuild(b: pa.Table) -> pa.Table:
+        t = b.take(
+            pc.sort_indices(
+                b, sort_keys=[(id_col, "ascending"), ("cidx", "ascending")]
+            )
+        )
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        if n == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "text_dedup": pa.array([], pa.string()),
+                    "n_kept": pa.array([], pa.int64()),
+                    "n_dropped": pa.array([], pa.int64()),
+                }
+            )
+        chunks = t["chunk"].to_numpy(zero_copy_only=False)
+        tot = t["n_total"].to_numpy(zero_copy_only=False)
+        new = np.ones(n, dtype=bool)
+        new[1:] = ids[1:] != ids[:-1]
+        first = np.flatnonzero(new)
+        counts = np.diff(np.append(first, n))
+        texts = [
+            " ".join(chunks[f : f + c]) for f, c in zip(first, counts)
+        ]
+        return pa.table(
+            {
+                id_col: pa.array(ids[first]),
+                "text_dedup": pa.array(texts, pa.string()),
+                "n_kept": pa.array(counts.astype(np.int64)),
+                "n_dropped": pa.array(tot[first] - counts),
+            }
+        )
+
+    with hash_shuffle(kept):
+        return (
+            kept.repartition(
+                num_blocks=_exchange_blocks(n_rows), keys=[id_col]
+            )
+            .map_batches(rebuild, batch_format="pyarrow", zero_copy_batch=True)
+            .materialize()
+        )

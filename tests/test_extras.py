@@ -1307,3 +1307,48 @@ def test_binned_quantiles_by_all_null_and_null_groups(ray_session):
     )
     assert set(out["grp"]) == {"a"}
     assert out["n_total"].iloc[0] == 2  # the null-group row is excluded
+
+
+def test_dedup_spans_planted_and_fallback(ray_session):
+    """C4-style span dedup: a chunk repeated later in the corpus keeps only
+    its first (doc_id, chunk_idx) occurrence; a doc made entirely of
+    earlier chunks vanishes; reassembly preserves chunk order; the
+    broadcast and semi-join fallback paths agree; block layout changes
+    nothing."""
+    import ray
+
+    k = 4  # span_tokens
+    a = "a1 a2 a3 a4"  # doc0 chunk0
+    b = "b1 b2 b3 b4"  # doc0 chunk1
+    c = "c1 c2 c3 c4"
+    docs = [
+        f"{a} {b}",        # doc 0: both chunks first occurrences
+        f"{c} {a}",        # doc 1: c kept, a dropped (dup of doc0 chunk0)
+        f"{b} {a}",        # doc 2: both chunks duplicate doc0 → vanishes
+        "x1 x2",           # doc 3: one short unique chunk
+    ]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": docs})
+
+    def run(ds, **kw):
+        return (
+            dedup.dedup_spans(ds, span_tokens=k, **kw)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    for blocks in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(num_blocks=blocks)
+        got = run(ds)
+        assert got["doc_id"].tolist() == [0, 1, 3], blocks
+        assert got.set_index("doc_id").loc[0, "text_dedup"] == f"{a} {b}"
+        assert got.set_index("doc_id").loc[1, "text_dedup"] == c
+        assert got.set_index("doc_id").loc[1, "n_dropped"] == 1
+        assert got.set_index("doc_id").loc[3, "text_dedup"] == "x1 x2"
+    # force the 100 TB semi-join fallback and require identical output
+    ds = ray.data.from_arrow(t).repartition(num_blocks=2)
+    fb = run(ds, winners_max_bytes=0)
+    pd.testing.assert_frame_equal(
+        run(ds)[["doc_id", "text_dedup", "n_kept", "n_dropped"]],
+        fb[["doc_id", "text_dedup", "n_kept", "n_dropped"]],
+    )
