@@ -92,6 +92,16 @@ class _BaseLogParser:
                 batch = batch.rename_columns(names)
             return batch
 
+        # the upstream CSV façade is inherently driver-side (upstream writes
+        # one pandas CSV per 2k-line log); refuse corpus-scale inputs rather
+        # than silently materializing them on the driver
+        n_lines = matched.count()
+        if n_lines > 1_000_000:
+            raise ValueError(
+                f"compat façade parse() materializes results driver-side and "
+                f"got {n_lines} lines (> 1,000,000); use the Dataset API "
+                f"(stages.mine / stages.parse) for corpus-scale inputs"
+            )
         if self.rex:
             # re-read original content for the structured CSV (upstream keeps
             # the raw line content; the rex-preprocessed text only feeds the

@@ -1042,7 +1042,10 @@ def q_transcripts_conv_stats(sf_dir: str):
     def derive(b: pa.Table) -> pa.Table:
         texts = b["text"].combine_chunks()
         n_chars = pc.cast(pc.utf8_length(texts).fill_null(0), pa.int64())
-        is_tool = pc.cast(pc.is_valid(b["tool"].combine_chunks()), pa.int64())
+        # the fixture encodes "no tool" as '' (never null), so tool-turn
+        # means a non-empty tool name (is_valid counted EVERY turn before)
+        tools = pc.fill_null(b["tool"].combine_chunks(), "")
+        is_tool = pc.cast(pc.not_equal(tools, ""), pa.int64())
         ep = pc.cast(b["ts"].combine_chunks(), pa.int64())  # µs
         return pa.table(
             {
@@ -1077,10 +1080,22 @@ def q_transcripts_conv_stats(sf_dir: str):
 
 
 def q_transcripts_structured(sf_dir: str):
-    """The reference's _structured.csv shape: input + template_id/template/params."""
+    """The reference's _structured.csv shape: input + template_id/template/
+    params (+ enrichment dims). ``params`` is flattened to a unit-separator
+    joined string so the row-level DuckDB oracle (golden parquet +
+    ``array_to_string``) can hash it — a per-row proof that the matcher
+    reproduces the generator's golden labels exactly."""
     tdir, _ = fixtures.ensure_transcripts(min(_turns_for(sf_dir), 60_000))
     ds = ray.data.read_parquet(tdir)
-    return flagship.parse_enrich(ds, with_params=True)
+    out = flagship.parse_enrich(ds, with_params=True)
+
+    def flatten_params(b: pa.Table) -> pa.Table:
+        joined = pc.binary_join(b["params"].combine_chunks(), "\x1f")
+        return b.drop_columns(["params"]).append_column("params_str", joined)
+
+    return out.map_batches(
+        flatten_params, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def q_rawlog_structured(sf_dir: str):
@@ -2573,3 +2588,60 @@ def _profile_oracle_sql() -> str:
 
 
 ORACLE["events_profile"] = _profile_oracle_sql()
+
+
+def _transcripts_oracles() -> dict[str, str]:
+    """DuckDB oracles for the transcripts family via ``read_parquet()`` on
+    the DETERMINISTIC fixture paths (VERDICT r04 #1): the driver registers
+    only the testdata views, but the transcripts fixture and its golden are
+    content-addressed parquet under the cache dir, so file-path SQL can
+    re-derive every aggregate — and the golden's per-turn labels make the
+    structured/templates/sink oracles a proof that the distributed matcher
+    reproduces the generator's ground truth exactly."""
+    root = fixtures.transcripts_cache_dir()
+    tp = f"read_parquet('{os.path.join(root, 'transcripts_n60000_s42', 'part-*.parquet')}')"
+    gp = f"read_parquet('{os.path.join(root, 'golden_n60000_s42.parquet')}')"
+    return {
+        "transcripts_conv_stats": (
+            "SELECT conv_id, count(*) AS n_turns, "
+            "CAST(sum(CASE WHEN tool <> '' THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_tool_turns, "
+            "CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS sum_chars, "
+            "CAST(max(coalesce(length(text), 0)) AS BIGINT) AS max_chars, "
+            "CAST((max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 "
+            "AS BIGINT) AS span_s "
+            f"FROM {tp} GROUP BY conv_id"
+        ),
+        "transcripts_sink_counts": (
+            "SELECT role, tool, template_id, count(*) AS n_turns "
+            f"FROM {gp} GROUP BY 1, 2, 3"
+        ),
+        "transcripts_templates": (
+            "SELECT 'templates' AS part, template_id AS a, template AS b, "
+            f"count(*) AS n FROM {gp} GROUP BY 1, 2, 3 "
+            "UNION ALL "
+            "SELECT 'conv_hash', conv_id, "
+            "substr(md5(string_agg(text, chr(10) ORDER BY turn_idx)), 1, 16), "
+            f"count(*) FROM {tp} GROUP BY conv_id"
+        ),
+        "transcripts_structured": (
+            "WITH roles(role, role_class) AS (VALUES "
+            "('system', 'control'), ('user', 'human'), "
+            "('assistant', 'model'), ('tool', 'machine')), "
+            "tools(tool, tool_family, is_sandboxed) AS (VALUES "
+            "('bash', 'exec', TRUE), ('python', 'exec', TRUE), "
+            "('read', 'fs', FALSE), ('write', 'fs', FALSE), "
+            "('edit', 'fs', FALSE), ('search', 'net', TRUE), "
+            "('fetch', 'net', TRUE)) "
+            "SELECT g.conv_id, g.turn_idx, g.role, g.text, g.tool, g.ts, "
+            "g.template_id, g.template, "
+            # array_to_string([]) is NULL in DuckDB; binary_join([]) is ''
+            "coalesce(array_to_string(g.params, chr(31)), '') AS params_str, "
+            "r.role_class, t.tool_family, t.is_sandboxed "
+            f"FROM {gp} g "
+            "LEFT JOIN roles r USING (role) LEFT JOIN tools t USING (tool)"
+        ),
+    }
+
+
+ORACLE.update(_transcripts_oracles())

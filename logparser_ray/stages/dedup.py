@@ -168,6 +168,13 @@ class MinHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        # downstream bucket blocks mark truncation with sentinel ids
+        # (-1 - band_id) filtered by id >= 0 — negative real ids would be
+        # silently dropped as sentinels, so refuse them at signature time
+        assert (np.asarray(ids) >= 0).all(), (
+            "MinHasher: doc ids must be non-negative (negative values are "
+            "reserved for truncation sentinels in the LSH bucket exchange)"
+        )
         shingles = _shingle_hashes(batch["text"], self.k)
         n = len(ids)
         band_hash = np.empty((n, self.bands), dtype=np.uint64)
@@ -807,6 +814,11 @@ def simhash_near_dupes(
     def explode(batch: pa.Table) -> pa.Table:
         t = SimHasher()(batch)
         ids = t[id_col].to_numpy(zero_copy_only=False)
+        # same sentinel scheme as MinHash buckets: negative ids reserved
+        assert (np.asarray(ids) >= 0).all(), (
+            "simhash_near_dupes: doc ids must be non-negative (negative "
+            "values are reserved for truncation sentinels)"
+        )
         sig = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
         n = len(ids)
         band_val = np.empty((n, bands), dtype=np.int64)
@@ -1013,6 +1025,12 @@ def dedup_against_prior(
     return exact_dedup_representatives(filtered, id_col=id_col, text_col=text_col)
 
 
+# chunk occurrence keys are doc_id * _SPAN_KEY_SCALE + chunk_idx; a doc with
+# >= _SPAN_KEY_SCALE chunks would collide with the next doc's key space, so
+# _span_chunks refuses such inputs (raise, not silent corruption)
+_SPAN_KEY_SCALE = 1_000_000
+
+
 def _span_chunks(texts, span_tokens: int):
     """Vectorized non-overlapping ``span_tokens``-token chunking of a batch:
     one split, then ``ceil(max_len/k)`` ``list_slice`` + ``binary_join``
@@ -1022,6 +1040,12 @@ def _span_chunks(texts, span_tokens: int):
     offsets = np.asarray(toks.offsets, dtype=np.int64)
     lengths = offsets[1:] - offsets[:-1]
     max_chunks = int(np.ceil(lengths.max() / span_tokens)) if len(lengths) else 0
+    if max_chunks >= _SPAN_KEY_SCALE:
+        raise ValueError(
+            f"dedup_spans: a document has {max_chunks} chunks >= "
+            f"{_SPAN_KEY_SCALE}; occurrence keys would collide across docs. "
+            f"Raise span_tokens or pre-split oversized documents."
+        )
     out = []
     for i in range(max_chunks):
         sl = pc.list_slice(toks, i * span_tokens, (i + 1) * span_tokens)
@@ -1067,7 +1091,7 @@ def dedup_spans(
     if n_rows is None:
         n_rows = ds.count()
 
-    KEY_SCALE = 1_000_000
+    KEY_SCALE = _SPAN_KEY_SCALE
 
     def chunk_partials(b: pa.Table) -> pa.Table:
         texts = b[text_col].combine_chunks()
@@ -1110,13 +1134,17 @@ def dedup_spans(
     )
 
     def reassemble(b: pa.Table, keep_keys) -> pa.Table:
+        # kept-chunk gather is numpy run-length (same shape as the join
+        # fallback's rebuild): per chunk index, flatnonzero the keep mask;
+        # a stable sort by row then restores (row, chunk_idx) order, and
+        # each surviving doc costs ONE " ".join — no per-chunk Python loop
         texts = b[text_col].combine_chunks()
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         chunks, lengths = _span_chunks(texts, span_tokens)
         n = len(ids)
-        parts = [[] for _ in range(n)]
         n_total = np.zeros(n, np.int64)
         n_kept = np.zeros(n, np.int64)
+        kept_rows, kept_vals = [], []
         for i, (joined, mask) in enumerate(chunks):
             keys = pa.array(ids * KEY_SCALE + i)
             keep = np.asarray(
@@ -1126,15 +1154,32 @@ def dedup_spans(
             )
             n_total += mask.astype(np.int64)
             n_kept += keep.astype(np.int64)
-            vals = joined.to_numpy(zero_copy_only=False)
-            for r in np.flatnonzero(keep):
-                parts[r].append(vals[r])
+            idx = np.flatnonzero(keep)
+            if len(idx):
+                kept_rows.append(idx)
+                kept_vals.append(joined.to_numpy(zero_copy_only=False)[idx])
         rows = np.flatnonzero(n_kept > 0)
+        if not len(rows):
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "text_dedup": pa.array([], pa.string()),
+                    "n_kept": pa.array([], pa.int64()),
+                    "n_dropped": pa.array([], pa.int64()),
+                }
+            )
+        r_all = np.concatenate(kept_rows)
+        v_all = np.concatenate(kept_vals)
+        order = np.argsort(r_all, kind="stable")  # chunk order kept within row
+        v_all = v_all[order]
+        counts = np.bincount(r_all, minlength=n)[rows]
+        first = np.concatenate([[0], np.cumsum(counts)[:-1]])
         return pa.table(
             {
                 id_col: pa.array(ids[rows]),
                 "text_dedup": pa.array(
-                    [" ".join(parts[r]) for r in rows], pa.string()
+                    [" ".join(v_all[f : f + c]) for f, c in zip(first, counts)],
+                    pa.string(),
                 ),
                 "n_kept": pa.array(n_kept[rows]),
                 "n_dropped": pa.array((n_total - n_kept)[rows]),
@@ -1165,10 +1210,22 @@ def dedup_spans(
     from logparser_ray.stages.joins import join_num_partitions
     from logparser_ray.stages.windows import _exchange_blocks
 
+    _EMPTY_EXPLODED = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "cidx": pa.array([], pa.int64()),
+            "chunk": pa.array([], pa.string()),
+            "n_total": pa.array([], pa.int64()),
+            "key": pa.array([], pa.int64()),
+        }
+    )
+
     def explode(b: pa.Table) -> pa.Table:
         texts = b[text_col].combine_chunks()
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         chunks, lengths = _span_chunks(texts, span_tokens)
+        if not chunks:  # zero rows, or all texts null/empty
+            return _EMPTY_EXPLODED
         rows_id, rows_c, rows_chunk, rows_tot = [], [], [], []
         n_total = np.ceil(lengths / span_tokens).astype(np.int64)
         for i, (joined, mask) in enumerate(chunks):

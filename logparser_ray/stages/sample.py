@@ -275,11 +275,17 @@ def split_by_hash(
     labels = list(ratios)
     if len(labels) < 2:
         raise ValueError("need at least two split labels")
+    for lbl, r in ratios.items():
+        if not r > 0:
+            raise ValueError(f"split ratio for {lbl!r} must be > 0, got {r}")
+    if sum(ratios.values()) > 1.0 + 1e-9:
+        raise ValueError(f"split ratios sum to {sum(ratios.values())} > 1")
     cum = 0.0
     thrs: list[str] = []
     for lbl in labels[:-1]:
         cum += ratios[lbl]
         thrs.append(format(min(int(cum * (1 << 32)), (1 << 32) - 1), "08x"))
+    assert list(thrs) == sorted(thrs), "thresholds must be monotonic"
     thr_arr = np.array(thrs, dtype=object)
     label_arr = np.array(labels, dtype=object)
 

@@ -830,7 +830,8 @@ def test_transcripts_conv_stats_matches_pandas(ray_session):
     want = (
         df.assign(
             n_chars=df["text"].str.len().fillna(0).astype("int64"),
-            is_tool=df["tool"].notna().astype("int64"),
+            # "no tool" is encoded as '' in the fixture, never null
+            is_tool=(df["tool"].fillna("") != "").astype("int64"),
             ep_us=ep,
         )
         .groupby("conv_id", as_index=False)
