@@ -367,6 +367,7 @@ def q_docs_corpus_prep(sf_dir: str):
         rates=PREP_RATES,
         default_rate=0.7,
         budget=1024,
+        n_rows=_parquet_rows(sf_dir, "documents"),
     )
     return res["dataset"].select_columns(["doc_id", "n_tok", "seq_id"])
 
