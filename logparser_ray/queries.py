@@ -658,9 +658,9 @@ def q_events_profile(sf_dir: str):
     pass + a column-count-sized merge) unioned with the grouped
     exact-distinct rows the former ``events_distinct_users`` entry pinned.
     Long format ``(part, k, v)`` so every stat and type shares one
-    hash-comparable schema; float min/max are unprofiled by design (no
-    order-preserving shared rendering) and their rows are absent on both
-    sides."""
+    hash-comparable schema; float min/max fold on the IEEE total-order
+    bit key and render via shortest-round-trip ``repr`` — byte-identical
+    to DuckDB ``CAST(double AS VARCHAR)``."""
     from logparser_ray.stages.profile import profile_table
 
     ev = _read(sf_dir, "events")
@@ -2553,6 +2553,10 @@ def _profile_oracle_sql() -> str:
             "CAST(epoch_us(max({c})) AS VARCHAR)",
         ),
         "str": ("min({c})", "max({c})"),
+        # floats: the profiler's IEEE total-order key fold + repr rendering
+        # is byte-identical to DuckDB's shortest-round-trip CAST (verified
+        # incl. nan/inf/-inf and exponent thresholds)
+        "float": ("CAST(min({c}) AS VARCHAR)", "CAST(max({c}) AS VARCHAR)"),
     }
     parts = []
     for c, t in cols.items():
@@ -2568,7 +2572,7 @@ def _profile_oracle_sql() -> str:
             f"SELECT 'profile', '{c}.n_distinct', "
             f"CAST(count(DISTINCT {c}) AS VARCHAR) FROM events"
         )
-        if t in minmax:  # float min/max unprofiled by design
+        if t in minmax:
             mn, mx = minmax[t]
             parts.append(
                 f"SELECT 'profile', '{c}.min_repr', "

@@ -11,9 +11,16 @@ strings so every column type shares one output schema). The 100 TB shape:
 - min/max fold on ORDER-PRESERVING string keys (int64/timestamp values are
   offset to unsigned and zero-padded to fixed width, so lexicographic
   Min/Max equals numeric min/max; strings fold as themselves — byte-wise,
-  which matches DuckDB's binary collation on ASCII corpora). Float columns
-  report null min/max (their shortest-round-trip renderings don't order
-  lexicographically); their COUNTS still profile.
+  which matches DuckDB's binary collation on ASCII corpora). Floats fold
+  on the classic total-order bit trick (IEEE-754 bits viewed as uint64;
+  negative values complemented, non-negative get the sign bit set) rendered
+  as fixed-width hex — lexicographic order equals the IEEE total order, so
+  the same string-key Min/Max stays exact. NaN is canonicalized to the
+  positive-NaN pattern before keying, which sorts it GREATER than every
+  real (and ±inf below/above all finite values) — exactly DuckDB's
+  min/max semantics; the final rendering is Python's shortest-round-trip
+  ``repr``, byte-identical to DuckDB ``CAST(double AS VARCHAR)``
+  (verified: decimals, exponent thresholds, nan/inf/-inf, -0.0).
 - exact distinct (``approx=False``) streams per-batch-deduped
   ``(col, value_repr)`` rows through one hash aggregation — value-scale,
   the same cost as any exact distinct. Renderings are injective per type
@@ -42,6 +49,26 @@ def _int_key(v: int) -> str:
 
 def _key_to_int(k: str) -> int:
     return int(k) - _OFFSET
+
+
+_SIGN = np.uint64(1 << 63)
+_POS_NAN = np.uint64(0x7FF8000000000000)
+
+
+def _float_sortable(v: np.ndarray) -> np.ndarray:
+    """float64 → uint64 whose unsigned order is the IEEE total order
+    (negatives complemented, non-negatives sign-bit-flipped). NaNs first
+    canonicalize to the positive pattern so every NaN — quiet, signalling,
+    negative — keys GREATER than +inf, matching DuckDB min/max."""
+    u = v.view(np.uint64)
+    u = np.where(np.isnan(v), _POS_NAN, u)
+    return np.where(u >> np.uint64(63), ~u, u | _SIGN)
+
+
+def _key_to_float(k: str) -> float:
+    u = np.uint64(int(k, 16))
+    u = np.uint64(u ^ _SIGN) if bool(u >> np.uint64(63)) else np.uint64(~u)
+    return float(u.view(np.float64))
 
 
 def _col_reprs(arr: pa.ChunkedArray) -> np.ndarray:
@@ -91,12 +118,15 @@ def profile_table(
                     mm = pc.min_max(iarr)
                     mn = _int_key(mm["min"].as_py())
                     mx = _int_key(mm["max"].as_py())
+                elif pa.types.is_floating(t):
+                    v = arr.drop_null().to_numpy(zero_copy_only=False)
+                    us = _float_sortable(v.astype(np.float64))
+                    mn = format(int(us.min()), "016x")
+                    mx = format(int(us.max()), "016x")
                 elif pa.types.is_string(t) or pa.types.is_large_string(t):
                     mm = pc.min_max(arr)
                     mn = mm["min"].as_py()
                     mx = mm["max"].as_py()
-                # floats: min/max deliberately unprofiled (no
-                # order-preserving shared-schema rendering)
             out["col"].append(c)
             out["n"].append(n)
             out["n_null"].append(n_null)
@@ -192,6 +222,8 @@ def profile_table(
         t = types[c]
         if pa.types.is_integer(t) or pa.types.is_timestamp(t):
             return str(_key_to_int(key))
+        if pa.types.is_floating(t):
+            return repr(_key_to_float(key))
         return key
 
     stats["min_repr"] = [render(c, k) for c, k in zip(stats["col"], stats["min_key"])]

@@ -1132,8 +1132,9 @@ def test_bucket_jaccard_matrix_equals_pairwise():
 
 def test_profile_table_hand_computed(ray_session):
     """Per-column stats vs hand-derived truth on a table with nulls, a
-    negative int (the order-preserving key must not break), floats (no
-    min/max by design) and strings — and block-layout independence."""
+    negative int (the order-preserving key must not break), floats
+    (IEEE total-order key: negatives, fractions) and strings — and
+    block-layout independence."""
     import ray
 
     from logparser_ray.stages.profile import profile_table
@@ -1142,7 +1143,7 @@ def test_profile_table_hand_computed(ray_session):
         {
             "i": pa.array([5, -3, None, 5, 12], pa.int64()),
             "s": pa.array(["b", "a", "c", None, "a"], pa.string()),
-            "f": pa.array([1.5, 2.5, 1.5, None, 0.25], pa.float64()),
+            "f": pa.array([1.5, 2.5, 1.5, None, -0.25], pa.float64()),
         }
     )
     for blocks in (1, 4):
@@ -1157,8 +1158,31 @@ def test_profile_table_hand_computed(ray_session):
         assert got.loc["s", "min_repr"] == "a"
         assert got.loc["s", "max_repr"] == "c"
         assert got.loc["f", "n_distinct"] == 3
-        assert got.loc["f", "min_repr"] is None
-        assert got.loc["f", "max_repr"] is None
+        assert got.loc["f", "min_repr"] == "-0.25"
+        assert got.loc["f", "max_repr"] == "2.5"
+
+
+def test_profile_float_key_total_order():
+    """The float64→uint64 key is strictly order-preserving across signs,
+    magnitudes, ±inf; every NaN pattern keys greater than +inf (DuckDB
+    min/max semantics); round-trip repr is exact."""
+    from logparser_ray.stages.profile import _float_sortable, _key_to_float
+
+    vals = np.array(
+        [-np.inf, -1e300, -2.5, -0.25, -5e-324, -0.0, 0.0, 5e-324, 0.25, 1.5, 1e300, np.inf]
+    )
+    keys = _float_sortable(vals)
+    assert (np.diff(keys.astype(np.uint64).view(np.uint64)) >= 0).all()
+    # strict where values differ numerically (only the -0.0/0.0 pair ties
+    # numerically but still orders, -0.0 first)
+    assert (np.diff(keys) > 0).sum() >= len(vals) - 1 - 1
+    for nan_bits in (0x7FF8000000000000, 0xFFF8000000000000, 0x7FF0000000000001):
+        nv = np.array([np.uint64(nan_bits)]).view(np.float64)
+        assert _float_sortable(nv)[0] > keys[-1]  # > +inf
+    for v in vals:
+        k = format(int(_float_sortable(np.array([v]))[0]), "016x")
+        back = _key_to_float(k)
+        assert repr(back) == repr(float(v)), (v, back)
 
 
 def test_profile_table_approx_distinct(ray_session):
