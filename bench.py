@@ -148,14 +148,27 @@ def run_bench() -> dict:
             num_blocks=NUM_CPUS, keys=["id"]
         ).count()
 
-    from logparser_ray.queries import q_docs_unigram_near_dupes
+    from logparser_ray.queries import (
+        q_docs_bigram_topk,
+        q_docs_unigram_near_dupes,
+        q_docs_unigram_topk,
+        q_lineitem_corr,
+        q_lineitem_q1,
+    )
 
     query_list = (
-        ("lineitem_pricing", QUERIES["lineitem_pricing"]),
+        # the Q1 aggregate alone (the registry entry now also carries the
+        # round-5 corr column) so the timing stays comparable across rounds;
+        # the corr pass is timed separately as lineitem_corr
+        ("lineitem_pricing", q_lineitem_q1),
+        ("lineitem_corr", q_lineitem_corr),
         ("events_sessionize", QUERIES["events_sessionize"]),
         ("events_tumbling", QUERIES["events_tumbling"]),
         ("revenue_by_nation", QUERIES["revenue_by_nation"]),
-        ("docs_word_freq_topk", QUERIES["docs_word_freq_topk"]),
+        # unigram alone for round-over-round comparability; the round-5
+        # bigram pass is timed separately
+        ("docs_word_freq_topk", q_docs_unigram_topk),
+        ("docs_bigram_topk", q_docs_bigram_topk),
         ("embeddings_knn", QUERIES["embeddings_knn"]),
         # the MinHash path alone (not the consolidated docs_near_dup_audit
         # union) so the timing stays comparable with BENCH_r01/r02

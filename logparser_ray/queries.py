@@ -73,13 +73,63 @@ def q_events_by_type(sf_dir: str):
 
 
 def q_events_hourly(sf_dir: str):
+    """Tagged union, both parts SQL-oracled: ``part='hourly'`` — grouped
+    hourly counts (the original entry); ``part='align_month'`` — round-5
+    FULL OUTER series alignment (``aligned_counts``): monthly event counts
+    vs monthly order counts merged on month with one exchange over tagged
+    summary partials (the fixture ranges are disjoint — 2024 vs 1995-2001
+    — so BOTH unmatched sides are exercised; -1 marks an absent side)."""
+    import pandas as pd
+
+    from logparser_ray.stages.aggregate import aligned_counts
+
     ds = _read(sf_dir, "events", columns=["ts", "event_type"])
 
     def add_hour(b: pa.Table) -> pa.Table:
         return b.append_column("hour", pc.floor_temporal(b["ts"], unit="hour"))
 
-    ds = ds.map_batches(add_hour, batch_format="pyarrow", zero_copy_batch=True)
-    return grouped_count(ds, ["hour", "event_type"], alias="n")
+    hds = ds.map_batches(add_hour, batch_format="pyarrow", zero_copy_batch=True)
+    hourly = grouped_count(hds, ["hour", "event_type"], alias="n").to_pandas()
+
+    ev_m = _read(sf_dir, "events", columns=["ts"]).map_batches(
+        lambda b: pa.table({"month": pc.strftime(b["ts"], format="%Y-%m")}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    ord_m = _read(sf_dir, "orders", columns=["o_orderdate"]).map_batches(
+        lambda b: pa.table(
+            {
+                "month": pc.strftime(
+                    b["o_orderdate"].combine_chunks().cast(pa.timestamp("us")),
+                    format="%Y-%m",
+                )
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    aligned = aligned_counts(ev_m, ord_m, "month").to_pandas()
+    parts = [
+        pd.DataFrame(
+            {
+                "part": "hourly",
+                "grp": hourly["hour"].dt.strftime("%Y-%m-%d %H"),
+                "sub": hourly["event_type"].astype(str),
+                "n": hourly["n"].astype("int64"),
+                "n2": np.int64(-1),
+            }
+        ),
+        pd.DataFrame(
+            {
+                "part": "align_month",
+                "grp": aligned["month"].astype(str),
+                "sub": "",
+                "n": aligned["n_left"].astype("int64"),
+                "n2": aligned["n_right"].astype("int64"),
+            }
+        ),
+    ]
+    return pd.concat(parts, ignore_index=True)
 
 
 def q_events_json_k(sf_dir: str):
@@ -149,8 +199,10 @@ def q_docs_token_counts(sf_dir: str):
     return pack_sequences(counted, id_col="doc_id", tok_col="n_tok", budget=1024)
 
 
-def q_docs_word_freq_topk(sf_dir: str):
-    """SLCT-style global token frequency (SURVEY.md A9 shape), top 20."""
+def q_docs_unigram_topk(sf_dir: str):
+    """SLCT-style global token frequency (SURVEY.md A9 shape), top 20 —
+    the original single-op path, kept callable on its own so bench.py's
+    ``docs_word_freq_topk`` timing stays comparable across rounds."""
     ds = _read(sf_dir, "documents", columns=["text"])
 
     def explode_count(b: pa.Table) -> pa.Table:
@@ -165,6 +217,37 @@ def q_docs_word_freq_topk(sf_dir: str):
     partial = ds.map_batches(explode_count, batch_format="pyarrow", zero_copy_batch=True)
     counts = partial.groupby("tok").aggregate(Sum("n", alias_name="n"))
     return counts.sort(["n", "tok"], descending=[True, False]).limit(20)
+
+
+def q_docs_bigram_topk(sf_dir: str):
+    """Round-5 n-gram top-k (``ngram_freq_topk``, n=2): the
+    doc-boundary-respecting bigram counter every n-gram LM / collocation
+    pass needs — vectorized via shifted flat slices + a list-id straddle
+    mask. Standalone for bench.py; rides ``docs_word_freq_topk``."""
+    from logparser_ray.stages.textstats import ngram_freq_topk
+
+    return ngram_freq_topk(
+        _read(sf_dir, "documents", columns=["text"]), n=2, k=20
+    )
+
+
+def q_docs_word_freq_topk(sf_dir: str):
+    """Tagged union of the global token-frequency family, both SQL-oracled:
+    ``part='unigram'`` (SLCT shape, top 20) + ``part='bigram'``
+    (round-5 ``ngram_freq_topk``)."""
+    import pandas as pd
+
+    uni = q_docs_unigram_topk(sf_dir).to_pandas()
+    bi = q_docs_bigram_topk(sf_dir).to_pandas()
+    parts = [
+        pd.DataFrame(
+            {"part": "unigram", "tok": uni["tok"], "n": uni["n"].astype("int64")}
+        ),
+        pd.DataFrame(
+            {"part": "bigram", "tok": bi["gram"], "n": bi["n"].astype("int64")}
+        ),
+    ]
+    return pd.concat(parts, ignore_index=True)
 
 
 def q_docs_dedup_exact(sf_dir: str):
@@ -317,14 +400,43 @@ def q_orders_customer_join(sf_dir: str):
 
 
 def q_tpch_group_aggs(sf_dir: str):
-    """Tagged union of the two small TPC-H group aggregates (orders per
-    month + parts per type-word — audit-cap discipline: freed the slot
-    ``docs_corpus_prep`` holds). Both halves stay fully SQL-oracled via
-    UNION ALL."""
+    """Tagged union of the small TPC-H group aggregates (orders per month +
+    parts per type-word — audit-cap discipline: freed the slot
+    ``docs_corpus_prep`` holds), plus the round-5 hierarchical ROLLUP
+    (``rollup_counts``): orders revenue at (year, month) → (year, '*') →
+    ('*', '*'), every coarser level re-aggregated from the previous
+    summary-sized one (single fact scan). All parts SQL-oracled via
+    UNION ALL / GROUP BY ROLLUP."""
     import pandas as pd
+
+    from logparser_ray.stages.aggregate import rollup_counts
 
     om = q_orders_monthly(sf_dir).to_pandas()
     pt = q_parts_by_type(sf_dir).to_pandas()
+
+    orders = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def ym_cents(b: pa.Table) -> pa.Table:
+        ts = b["o_orderdate"].combine_chunks().cast(pa.timestamp("us"))
+        cents = np.floor(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "y": pc.strftime(ts, format="%Y"),
+                "m": pc.strftime(ts, format="%m"),
+                "cents": pa.array(cents),
+            }
+        )
+
+    ru = (
+        rollup_counts(
+            orders.map_batches(ym_cents, batch_format="pyarrow", zero_copy_batch=True),
+            ["y", "m"],
+            sum_col="cents",
+        )
+        .to_pandas()
+    )
     parts = [
         pd.DataFrame(
             {
@@ -340,6 +452,14 @@ def q_tpch_group_aggs(sf_dir: str):
                 "grp": pt["type_word"].astype(str),
                 "n": pt["n_parts"].astype("int64"),
                 "cents": pt["price_cents"].astype("int64"),
+            }
+        ),
+        pd.DataFrame(
+            {
+                "part": "rollup",
+                "grp": ru["y"].astype(str) + ":" + ru["m"].astype(str),
+                "n": ru["n"].astype("int64"),
+                "cents": ru["cents"].astype("int64"),
             }
         ),
     ]
@@ -459,18 +579,51 @@ def q_events_lag_lead(sf_dir: str):
     return out.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
 
 
+FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
 def q_events_union_extremes(sf_dir: str):
-    """Dataset.union (SURVEY core op): error events ∪ high-value events,
-    counted per event_type (duplicates preserved — UNION ALL semantics)."""
+    """Tagged union, both parts SQL-oracled: ``part='extremes'`` —
+    Dataset.union (SURVEY core op): error events ∪ high-value events,
+    counted per event_type (duplicates preserved — UNION ALL semantics);
+    ``part='funnel'`` — round-5 ordered conversion funnel
+    (``funnel_counts``): users reaching view → click → purchase with each
+    stage strictly after the previous stage's qualifying min-ts (k
+    filter → grouped-min → size-guarded-attach passes, no per-user
+    loop)."""
+    import pandas as pd
+
+    from logparser_ray.stages.funnel import funnel_counts
+
     base = _read(sf_dir, "events", columns=["event_type", "value"])
     errors = base.filter(expr="event_type == 'error'")
     high = base.filter(expr="value > 400.0")
     u = errors.union(high)
-    return grouped_count(u, ["event_type"], alias="n")
+    ext = grouped_count(u, ["event_type"], alias="n").to_pandas()
+
+    fun = funnel_counts(
+        _read(sf_dir, "events", columns=["user_id", "event_type", "ts"]),
+        FUNNEL_STAGES,
+    )
+    parts = [
+        pd.DataFrame(
+            {"part": "extremes", "grp": ext["event_type"], "n": ext["n"].astype("int64")}
+        ),
+        pd.DataFrame(
+            {
+                "part": "funnel",
+                "grp": fun["stage_idx"].astype(str) + ":" + fun["stage"],
+                "n": fun["n_users"].astype("int64"),
+            }
+        ),
+    ]
+    return pd.concat(parts, ignore_index=True)
 
 
-def q_lineitem_pricing(sf_dir: str):
-    """TPC-H Q1-shaped grouped aggregate, integer-exact."""
+def q_lineitem_q1(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate, integer-exact — the original
+    single-op path, kept callable on its own so bench.py's
+    ``lineitem_pricing`` timing stays comparable across rounds."""
     ds = _read(
         sf_dir,
         "lineitem",
@@ -508,6 +661,57 @@ def q_lineitem_pricing(sf_dir: str):
         Sum("revenue_cents", alias_name="revenue_cents"),
         Sum("n", alias_name="n"),
     )
+
+
+def q_lineitem_corr(sf_dir: str):
+    """Round-5 ``grouped_corr``: per-group Pearson corr(quantity,
+    extendedprice-cents) from EXACT integer moments (chunked int64
+    partials, arbitrary-precision merge) — bit-deterministic against the
+    DuckDB HUGEINT formula at 1e6 scale. Standalone for bench.py; rides
+    ``lineitem_pricing`` as ``corr_qp_e6``."""
+    from logparser_ray.stages.sketch import grouped_corr
+
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def int_xy(b: pa.Table) -> pa.Table:
+        q = np.floor(
+            b["l_quantity"].to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        p_cents = np.floor(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "q": pa.array(q),
+                "p": pa.array(p_cents),
+            }
+        )
+
+    return grouped_corr(
+        ds.map_batches(int_xy, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_returnflag", "l_linestatus"],
+        "q",
+        "p",
+    ).rename(columns={"corr_scaled": "corr_qp_e6"})
+
+
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H Q1 grouped aggregate + the round-5 exact-moment corr column
+    (both halves SQL-oracled; see ``q_lineitem_q1`` / ``q_lineitem_corr``)."""
+    base = q_lineitem_q1(sf_dir).to_pandas()
+    corr = q_lineitem_corr(sf_dir)
+    out = base.merge(corr, on=["l_returnflag", "l_linestatus"], how="left")
+    # degenerate (zero-variance) groups → -2_000_000, outside the valid
+    # [-1e6, 1e6] corr range, so the column stays plain int64 on both sides
+    out["corr_qp_e6"] = out["corr_qp_e6"].fillna(-2_000_000).astype("int64")
+    return out.sort_values(
+        ["l_returnflag", "l_linestatus"], kind="mergesort"
+    ).reset_index(drop=True)
 
 
 def q_customers_semi_anti(sf_dir: str):
@@ -1092,7 +1296,19 @@ def q_transcripts_structured(sf_dir: str):
 
     def flatten_params(b: pa.Table) -> pa.Table:
         joined = pc.binary_join(b["params"].combine_chunks(), "\x1f")
-        return b.drop_columns(["params"]).append_column("params_str", joined)
+        b = b.drop_columns(["params"]).append_column("params_str", joined)
+        # null-free encodings for the enrichment dims: nullable bool/str
+        # stringify differently across engines ('None' vs 'nan'), which
+        # breaks the order-insensitive sort-then-hash compare even when
+        # every keyed value matches — '' means "no dim row" on both sides
+        sandb = pc.coalesce(
+            pc.cast(b["is_sandboxed"], pa.string()), pa.scalar("")
+        )
+        b = b.drop_columns(["is_sandboxed"]).append_column("is_sandboxed", sandb)
+        for c in ("role_class", "tool_family"):
+            filled = pc.coalesce(b[c], pa.scalar(""))
+            b = b.drop_columns([c]).append_column(c, filled)
+        return b
 
     return out.map_batches(
         flatten_params, batch_format="pyarrow", zero_copy_batch=True
@@ -1961,6 +2177,7 @@ QUERIES = {
     "transcripts_templates": q_transcripts_templates,
     "transcripts_structured": q_transcripts_structured,
     "transcripts_conv_stats": q_transcripts_conv_stats,
+    # round 5: oracled via read_text() + the header DSL's own regex
     "rawlog_structured": q_rawlog_structured,
     # MinHash pairs + SimHash pairs + simhash clusters, consolidated
     # (audit-cap discipline — freed the slots docs_curation and
@@ -1999,9 +2216,20 @@ def _split_oracle_case(digest_expr: str) -> str:
 
 ORACLE = {
     "events_by_type": "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    # part='hourly': grouped hourly counts; part='align_month': FULL OUTER
+    # month alignment of event vs order counts (-1 = side absent)
     "events_hourly": (
-        "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n "
-        "FROM events GROUP BY 1, 2"
+        "SELECT 'hourly' AS part, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS grp, "
+        "event_type AS sub, count(*) AS n, CAST(-1 AS BIGINT) AS n2 "
+        "FROM events GROUP BY 2, 3 "
+        "UNION ALL "
+        "SELECT 'align_month' AS part, month AS grp, '' AS sub, "
+        "coalesce(e.n, -1) AS n, coalesce(o.n, -1) AS n2 FROM "
+        "(SELECT strftime(ts, '%Y-%m') AS month, count(*)::BIGINT AS n "
+        "FROM events GROUP BY 1) e "
+        "FULL OUTER JOIN "
+        "(SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*)::BIGINT AS n "
+        "FROM orders GROUP BY 1) o USING (month)"
     ),
     "events_json_k": (
         "SELECT CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) // 10 AS k_bucket, "
@@ -2088,10 +2316,20 @@ ORACLE = {
         "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
         "// 1024 AS BIGINT) AS seq_id FROM documents"
     ),
+    # part='unigram': SLCT-style token frequency; part='bigram': the
+    # doc-boundary-respecting bigram top-k (ngram_freq_topk, n=2)
     "docs_word_freq_topk": (
-        "SELECT tok, count(*) AS n FROM "
+        "SELECT 'unigram' AS part, tok, n FROM "
+        "(SELECT tok, count(*) AS n FROM "
         "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) "
-        "GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20"
+        "GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20) "
+        "UNION ALL "
+        "SELECT 'bigram' AS part, tok, n FROM "
+        "(SELECT bg AS tok, count(*)::BIGINT AS n FROM "
+        "(SELECT t.toks[i] || ' ' || t.toks[i + 1] AS bg "
+        "FROM (SELECT string_split(text, ' ') AS toks FROM documents) t, "
+        "unnest(range(1, len(t.toks))) AS r(i)) "
+        "GROUP BY 1 ORDER BY n DESC, tok ASC LIMIT 20)"
     ),
     # part='doc': exact representatives; part='span': C4-style 10-token
     # span dedup re-derived via row_number over chunk occurrences +
@@ -2278,7 +2516,15 @@ ORACLE = {
         "SELECT 'parts_by_type' AS part, regexp_extract(p_type, '^(\\S+)', 1) AS grp, "
         "count(*) AS n, "
         "CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents "
-        "FROM part GROUP BY 1, 2"
+        "FROM part GROUP BY 1, 2 "
+        "UNION ALL "
+        "SELECT 'rollup' AS part, "
+        "coalesce(y, '*') || ':' || coalesce(m, '*') AS grp, "
+        "count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents "
+        "FROM (SELECT strftime(o_orderdate, '%Y') AS y, "
+        "strftime(o_orderdate, '%m') AS m, "
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders) "
+        "GROUP BY ROLLUP(y, m)"
     ),
     # the composed prep pipeline, end to end: gate → (identity) redact →
     # mixture → dedup-first-per-text → pack. Thresholds are the hex of
@@ -2326,11 +2572,34 @@ ORACLE = {
         "  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey) "
         "WHERE rn <= 3"
     ),
+    # corr_qp_e6: Pearson corr(quantity, price-cents) from exact HUGEINT
+    # moments — the DOUBLE formula runs on identical exact integers on both
+    # sides, so floor(·1e6 + 0.5) is bit-deterministic
     "lineitem_pricing": (
-        "SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+        "WITH m AS (SELECT l_returnflag, l_linestatus, "
+        "count(*)::HUGEINT AS n, "
+        "sum(CAST(floor(l_quantity + 0.5) AS BIGINT))::HUGEINT AS sx, "
+        "sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::HUGEINT AS sy, "
+        "sum(CAST(floor(l_quantity + 0.5) AS BIGINT)::HUGEINT "
+        "    * CAST(floor(l_quantity + 0.5) AS BIGINT)::HUGEINT) AS sxx, "
+        "sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)::HUGEINT "
+        "    * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)::HUGEINT) AS syy, "
+        "sum(CAST(floor(l_quantity + 0.5) AS BIGINT)::HUGEINT "
+        "    * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)::HUGEINT) AS sxy "
+        "FROM lineitem GROUP BY 1, 2) "
+        "SELECT b.l_returnflag, b.l_linestatus, b.sum_qty, b.revenue_cents, b.n, "
+        "CASE WHEN m.n * m.sxx - m.sx * m.sx <= 0 "
+        "OR m.n * m.syy - m.sy * m.sy <= 0 THEN -2000000 "
+        "ELSE CAST(floor(CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE) "
+        "/ sqrt(CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE) "
+        "* CAST(m.n * m.syy - m.sy * m.sy AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) "
+        "END AS corr_qp_e6 "
+        "FROM (SELECT l_returnflag, l_linestatus, "
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
         "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) "
         "AS revenue_cents, count(*) AS n "
-        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus) b "
+        "JOIN m USING (l_returnflag, l_linestatus)"
     ),
     "suppliers_star": (
         "SELECT r.r_name, n.n_name, count(*) AS n_suppliers FROM supplier s "
@@ -2346,11 +2615,25 @@ ORACLE = {
         "coalesce(lead(event_id) OVER w, -1) AS next_id "
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
     ),
+    # part='extremes': union counts; part='funnel': the ordered-cascade
+    # conversion funnel (each stage strictly after the previous stage's
+    # per-user qualifying min-ts — the same k-pass chain the engine runs)
     "events_union_extremes": (
-        "SELECT event_type, count(*) AS n FROM ("
+        "WITH s0 AS (SELECT user_id, min(ts) AS t FROM events "
+        "WHERE event_type = 'view' GROUP BY 1), "
+        "s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+        "JOIN s0 USING (user_id) "
+        "WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1), "
+        "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+        "JOIN s1 USING (user_id) "
+        "WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1) "
+        "SELECT 'extremes' AS part, event_type AS grp, count(*) AS n FROM ("
         "  SELECT event_type, value FROM events WHERE event_type = 'error' "
         "  UNION ALL SELECT event_type, value FROM events WHERE value > 400) "
-        "GROUP BY event_type"
+        "GROUP BY 2 "
+        "UNION ALL SELECT 'funnel', '0:view', count(*) FROM s0 "
+        "UNION ALL SELECT 'funnel', '1:click', count(*) FROM s1 "
+        "UNION ALL SELECT 'funnel', '2:purchase', count(*) FROM s2"
     ),
     "embeddings_knn": (
         "SELECT e.vec_id, CAST(floor(list_cosine_similarity("
@@ -2642,7 +2925,12 @@ def _transcripts_oracles() -> dict[str, str]:
             "g.template_id, g.template, "
             # array_to_string([]) is NULL in DuckDB; binary_join([]) is ''
             "coalesce(array_to_string(g.params, chr(31)), '') AS params_str, "
-            "r.role_class, t.tool_family, t.is_sandboxed "
+            # '' = no dim row, on both sides (see flatten_params: nullable
+            # bool/str stringify as 'None' vs 'nan' across engines and
+            # break the sort-then-hash compare)
+            "coalesce(r.role_class, '') AS role_class, "
+            "coalesce(t.tool_family, '') AS tool_family, "
+            "coalesce(CAST(t.is_sandboxed AS VARCHAR), '') AS is_sandboxed "
             f"FROM {gp} g "
             "LEFT JOIN roles r USING (role) LEFT JOIN tools t USING (tool)"
         ),
@@ -2650,3 +2938,35 @@ def _transcripts_oracles() -> dict[str, str]:
 
 
 ORACLE.update(_transcripts_oracles())
+
+
+def _rawlog_oracle_sql() -> str:
+    """DuckDB oracle for the raw-log file source (S1-S2), same
+    fixture-path technique as ``_transcripts_oracles``: ``read_text()`` on
+    the deterministic ``.log`` fixture, split to lines, and the header
+    DSL's OWN generated regex (RE2 on both engines — pyarrow
+    ``extract_regex`` and DuckDB share RE2 semantics) re-applied via
+    ``regexp_extract``; non-matching lines are the quarantine set."""
+    from logparser_ray.core.headerdsl import HeaderFormat
+
+    # pure-Python, idempotent and tiny (500 lines): writing it here makes
+    # the oracle independent of whether the driver runs SQL before the Ray
+    # query that would otherwise create it
+    path, _ = fixtures.ensure_rawlog(n_lines=500)
+    rx = HeaderFormat(fixtures.RAWLOG_FORMAT).regex
+    assert "'" not in rx
+    return (
+        "WITH lines AS (SELECT unnest(string_split(rtrim(content, chr(10)), "
+        f"chr(10))) AS line FROM read_text('{path}')), "
+        "parsed AS (SELECT "
+        f"regexp_extract(line, '{rx}', "
+        "['Date', 'Time', 'Pid', 'Level', 'Component', 'Content']) AS s, "
+        f"NOT regexp_matches(line, '{rx}') AS q FROM lines) "
+        # quarantined rows: the engine's groupby folds the null Level key
+        # to '' — mirror that here so both sides stay null-free
+        "SELECT CASE WHEN q THEN '' ELSE s.Level END AS Level, "
+        "q AS _quarantined, count(*) AS n FROM parsed GROUP BY 1, 2"
+    )
+
+
+ORACLE["rawlog_structured"] = _rawlog_oracle_sql()

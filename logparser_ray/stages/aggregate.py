@@ -54,3 +54,140 @@ def template_occurrences(ds, alias: str = "occurrences"):
     sorted by occurrences desc then template_id asc (S5, O2)."""
     counts = grouped_count(ds, ["template_id", "template"], alias)
     return counts.sort([alias, "template_id"], descending=[True, False])
+
+
+def rollup_counts(ds, keys: list[str], *, sum_col: str | None = None,
+                  alias: str = "n", fill: str = "*", batch_size=None):
+    """Hierarchical ROLLUP aggregate (SQL ``GROUP BY ROLLUP(keys...)``):
+    grouped counts (+ one optional int64 sum) at EVERY prefix level of
+    ``keys`` — (k1,k2), (k1,'*'), ('*','*') for two keys — in one scan of
+    the fact table.
+
+    Scale shape: the fact table feeds only the finest level, via the same
+    combiner → tiny-groupby exchange as ``grouped_count``; every coarser
+    level re-aggregates the PREVIOUS level's already-summary-sized result
+    (cardinality ≤ distinct(keys)), so rolling up adds no second scan and
+    no second all-to-all over rows. Key columns must be strings (the
+    rolled-out levels pad them with ``fill``); counts/sums are int64.
+    """
+    import pyarrow.compute as pc
+
+    aggs = [([], "count_all")] if sum_col is None else [
+        (sum_col, "sum"), ([], "count_all")
+    ]
+    out_cols = [alias] if sum_col is None else [sum_col, alias]
+
+    def partial(b: pa.Table) -> pa.Table:
+        cols = keys + ([sum_col] if sum_col else [])
+        agg = b.select(cols).group_by(keys).aggregate(aggs)
+        return agg.rename_columns(keys + out_cols)
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    sums = [Sum(alias, alias_name=alias)] + (
+        [Sum(sum_col, alias_name=sum_col)] if sum_col else []
+    )
+    finest = partials.groupby(keys).aggregate(*sums)
+    order = keys + out_cols
+
+    def pad(dropped: list[str]):
+        def fn(b: pa.Table) -> pa.Table:
+            for c in dropped:
+                b = b.append_column(c, pa.array([fill] * len(b), pa.string()))
+            return b.select(order)
+        return fn
+
+    levels = [finest.map_batches(pad([]), batch_format="pyarrow")]
+    cur = finest
+    for i in range(len(keys) - 1, -1, -1):
+        kept = keys[:i]
+        if kept:
+            cur = cur.groupby(kept).aggregate(*sums)
+        else:
+            # grand total: constant-key groupby (still one exchange over a
+            # handful of summary rows — no driver-side fold)
+            cur = (
+                cur.map_batches(
+                    lambda b: b.append_column(
+                        "_g", pa.array([0] * len(b), pa.int8())
+                    ),
+                    batch_format="pyarrow",
+                )
+                .groupby("_g")
+                .aggregate(*sums)
+                # _g is dropped by pad()'s select(order)
+            )
+        levels.append(cur.map_batches(pad(keys[i:]), batch_format="pyarrow"))
+    u = levels[0]
+    for lvl in levels[1:]:
+        u = u.union(lvl)
+    return u
+
+
+def aligned_counts(left_ds, right_ds, key: str, *, batch_size=None):
+    """FULL OUTER alignment of two grouped counts on ``key`` — the
+    "align two series on a shared axis" operator (SQL:
+    ``agg FULL OUTER JOIN agg USING (key)``).
+
+    Scale shape: no row-level join at all. Each side emits per-batch count
+    partials tagged with side flags (n_l/n_r + in_l/in_r presence
+    markers), the tagged partials union, and ONE ``groupby(key).sum``
+    produces the aligned result — a single exchange over summary-sized
+    partials even when both inputs are fact-scale. Sides absent for a key
+    report ``-1`` (not 0: "no rows on that side" vs "zero count" stays
+    distinguishable while the columns remain plain int64).
+    """
+    import numpy as np
+
+    def partial(is_left: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            agg = b.select([key]).group_by([key]).aggregate([([], "count_all")])
+            agg = agg.rename_columns([key, "c"])
+            c = agg["c"].to_numpy(zero_copy_only=False).astype("int64")
+            z = np.zeros(len(agg), dtype="int64")
+            one = np.ones(len(agg), dtype="int64")
+            return pa.table(
+                {
+                    key: agg[key],
+                    "n_l": pa.array(c if is_left else z),
+                    "n_r": pa.array(z if is_left else c),
+                    "in_l": pa.array(one if is_left else z),
+                    "in_r": pa.array(z if is_left else one),
+                }
+            )
+
+        return fn
+
+    l = left_ds.map_batches(
+        partial(True), batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    r = right_ds.map_batches(
+        partial(False), batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    merged = l.union(r).groupby(key).aggregate(
+        Sum("n_l", alias_name="n_l"),
+        Sum("n_r", alias_name="n_r"),
+        Sum("in_l", alias_name="in_l"),
+        Sum("in_r", alias_name="in_r"),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        nl = b["n_l"].to_numpy(zero_copy_only=False).astype("int64")
+        nr = b["n_r"].to_numpy(zero_copy_only=False).astype("int64")
+        il = b["in_l"].to_numpy(zero_copy_only=False) > 0
+        ir = b["in_r"].to_numpy(zero_copy_only=False) > 0
+        return pa.table(
+            {
+                key: b[key],
+                "n_left": pa.array(np.where(il, nl, -1)),
+                "n_right": pa.array(np.where(ir, nr, -1)),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

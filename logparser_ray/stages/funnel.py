@@ -1,0 +1,112 @@
+"""Ordered conversion-funnel analysis over an event stream.
+
+The classic product-analytics operator (public shape: e.g. the
+``windowFunnel``-style cascade described in the ClickHouse docs and the
+sessionization literature): given an ordered list of stages
+``[A, B, C, ...]``, a user reaches stage *k* iff an event of type
+``stages[k]`` occurs STRICTLY AFTER the time at which they reached stage
+*k-1* (each stage's qualifying time is the earliest such event).
+
+Scale shape — k passes, never a per-user loop:
+
+- stage 0 is one grouped-min over the type-filtered stream (per-batch
+  combiner partials → one tiny groupby, same as ``grouped_count``);
+- stage k attaches the previous stage's per-user qualifying time via the
+  size-guarded ``attach_dim`` (broadcast dictionary under the guard, a
+  distributed left join past it), filters ``ts > t_prev`` vectorized, and
+  runs the same grouped-min. The attach side shrinks monotonically
+  (funnels only lose users), and the fact stream is read once per stage
+  with the type filter pushed into the scan predicate upstream.
+
+No SQL window functions are needed: the cascade is pure
+filter → grouped-min → attach, so the DuckDB oracle is the identical
+chain of CTEs (see ``queries.py``).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+from ray.data.aggregate import Min
+
+
+def _grouped_min(ds, key: str, val: str, alias: str):
+    """Per-key min via per-batch combiner partials → one tiny groupby."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        agg = b.select([key, val]).group_by([key]).aggregate([(val, "min")])
+        return agg.rename_columns([key, alias])
+
+    p = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return p.groupby(key).aggregate(Min(alias, alias_name=alias))
+
+
+def funnel_user_times(
+    ds,
+    stages: "list[str]",
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+):
+    """Per-user qualifying time for every funnel stage.
+
+    Returns ``[(stage_name, Dataset(user_col, t_stage)), ...]`` — one
+    summary-sized per-user dataset per stage, each lazily derived from the
+    previous one as described in the module docstring.
+    """
+    from logparser_ray.stages.joins import attach_dim
+
+    if len(stages) < 1:
+        raise ValueError("funnel needs at least one stage")
+    out = []
+    prev = None
+    for i, stage in enumerate(stages):
+        evs = ds.filter(expr=f"{type_col} == {stage!r}").select_columns(
+            [user_col, ts_col]
+        )
+        if i == 0:
+            cur = _grouped_min(evs, user_col, ts_col, "t_stage")
+        else:
+            joined = attach_dim(
+                evs,
+                prev,
+                fact_key=user_col,
+                dim_key=user_col,
+                dim_cols=["t_prev"],
+            )
+            after = joined.filter(expr=f"{ts_col} > t_prev")
+            cur = _grouped_min(after, user_col, ts_col, "t_stage")
+        # each stage's per-user summary is consumed twice (count + next
+        # stage's attach) — pin it so the lineage isn't re-executed and so
+        # attach_dim's broadcast-size guard sees a real size (it's
+        # (user, ts) rows: ~16 B/user, object-store-spillable at scale)
+        cur = cur.materialize()
+        out.append((stage, cur))
+        prev = cur.map_batches(
+            lambda b: b.rename_columns([user_col, "t_prev"]),
+            batch_format="pyarrow",
+        )
+    return out
+
+
+def funnel_counts(
+    ds,
+    stages: "list[str]",
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+):
+    """Users reaching each funnel stage, as a pandas frame
+    ``(stage_idx, stage, n_users)`` (k+1 summary rows — driver-sized by
+    construction)."""
+    import pandas as pd
+
+    per_stage = funnel_user_times(
+        ds, stages, user_col=user_col, type_col=type_col, ts_col=ts_col
+    )
+    rows = [
+        {"stage_idx": i, "stage": name, "n_users": d.count()}
+        for i, (name, d) in enumerate(per_stage)
+    ]
+    return pd.DataFrame(rows)

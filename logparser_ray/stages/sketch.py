@@ -270,3 +270,114 @@ def binned_quantiles_by(
                 }
             )
     return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# Exact grouped correlation from integer moments
+# ---------------------------------------------------------------------------
+
+
+def grouped_corr(
+    ds,
+    keys: "list[str]",
+    x_col: str,
+    y_col: str,
+    *,
+    scale: int = 1_000_000,
+) -> pd.DataFrame:
+    """Pearson correlation per group from EXACT integer moments.
+
+    ``x_col``/``y_col`` must already be int64 (the caller applies the same
+    integerization — e.g. cents — that the SQL oracle applies per row).
+    Per batch, a vectorized partial computes the five grouped moment sums
+    (Σx, Σy, Σx², Σy², Σxy) in int64, auto-chunking rows so no chunk's sum
+    can overflow 2⁶²; the summary-sized partials (groups × chunks rows)
+    merge on the driver in arbitrary-precision Python ints — the standard
+    mergeable-sketch shape, except the "sketch" is exact.
+
+    The float formula then runs on identical exact integers on both sides
+    (engine and DuckDB HUGEINT→DOUBLE), so the scaled result
+    ``corr = floor(num/sqrt(a·b) · scale + 0.5)`` is bit-deterministic:
+    block layout, batch size and merge order cannot move it. Degenerate
+    groups (zero variance on either side) return a null.
+    """
+    import math
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(x)
+        if n == 0:
+            return pa.table(
+                {
+                    **{k: pa.array([], b[k].type) for k in keys},
+                    "n": pa.array([], pa.int64()),
+                    "sx": pa.array([], pa.int64()),
+                    "sy": pa.array([], pa.int64()),
+                    "sxx": pa.array([], pa.int64()),
+                    "syy": pa.array([], pa.int64()),
+                    "sxy": pa.array([], pa.int64()),
+                }
+            )
+        mx = max(int(np.abs(x).max()), int(np.abs(y).max()), 1)
+        step = max(1, int((1 << 62) // (mx * mx)))
+        outs = []
+        for lo in range(0, n, step):
+            hi = min(n, lo + step)
+            xs, ys = x[lo:hi], y[lo:hi]
+            t = pa.table(
+                {
+                    **{k: b[k].slice(lo, hi - lo) for k in keys},
+                    "n": pa.array(np.ones(hi - lo, dtype=np.int64)),
+                    "sx": pa.array(xs),
+                    "sy": pa.array(ys),
+                    "sxx": pa.array(xs * xs),
+                    "syy": pa.array(ys * ys),
+                    "sxy": pa.array(xs * ys),
+                }
+            )
+            agg = t.group_by(keys).aggregate(
+                [(c, "sum") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]
+            )
+            outs.append(
+                agg.rename_columns(keys + ["n", "sx", "sy", "sxx", "syy", "sxy"])
+            )
+        return pa.concat_tables(outs)
+
+    parts = ds.select_columns(keys + [x_col, y_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pdf = parts.to_pandas()  # summary-sized: ≤ groups × chunks rows
+    mom = ["n", "sx", "sy", "sxx", "syy", "sxy"]
+    # merge in pure-Python ints — pandas groupby().sum() coerces object
+    # columns back to int64 and silently overflows exactly where these
+    # moments live (Σx² at price-cents scale crosses 2⁶³ in the millions
+    # of rows); the partial table is summary-sized so a dict fold is free
+    acc: "dict[tuple, list[int]]" = {}
+    for row in pdf.itertuples(index=False):
+        gk = tuple(getattr(row, k) for k in keys)
+        slot = acc.setdefault(gk, [0] * len(mom))
+        for j, c in enumerate(mom):
+            slot[j] += int(getattr(row, c))
+    if not acc:
+        return pd.DataFrame(columns=keys + ["corr_scaled"])
+    merged = pd.DataFrame(
+        [dict(zip(keys, gk)) for gk in sorted(acc)],
+    )
+
+    out_corr = []
+    for gk in sorted(acc):
+        n, sx, sy, sxx, syy, sxy = acc[gk]
+        num = n * sxy - sx * sy
+        a = n * sxx - sx * sx
+        bb = n * syy - sy * sy
+        if a <= 0 or bb <= 0:
+            out_corr.append(None)
+            continue
+        # operation order mirrors the SQL oracle exactly:
+        # DOUBLE(num) / sqrt(DOUBLE(a) * DOUBLE(b)) * scale + 0.5, floored
+        corr = float(num) / math.sqrt(float(a) * float(bb))
+        out_corr.append(int(math.floor(corr * scale + 0.5)))
+    res = merged[keys].copy()
+    res["corr_scaled"] = pd.array(out_corr, dtype="Int64")
+    return res

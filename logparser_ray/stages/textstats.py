@@ -240,3 +240,58 @@ def unigram_xent(ds, *, id_col: str = "doc_id", text_col: str = "text", scale: i
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def ngram_counts_batch(
+    batch: pa.Table, text_col: str = "text", n: int = 2
+) -> pa.Table:
+    """Per-batch n-gram count partials (the combiner): whitespace tokens,
+    space-joined n-grams, never crossing a document boundary.
+
+    Vectorized end to end: one ``split_pattern`` pass, n shifted slices of
+    the flat token array joined with ``binary_join_element_wise``, and a
+    numpy mask (list-id equality between the first and last token of each
+    candidate window) drops the windows that straddle two documents. SQL
+    parity (n=2): ``toks[i] || ' ' || toks[i+1]`` for i in 1..len-1.
+    """
+    toks = _tokens(batch[text_col].combine_chunks())
+    offs = np.asarray(toks.offsets, dtype=np.int64)
+    empty = pa.table(
+        {"gram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+    )
+    if len(offs) <= 1:
+        return empty
+    base = offs[0]
+    flat = toks.values.slice(base, offs[-1] - base)
+    nf = len(flat)
+    if nf < n:
+        return empty
+    sizes = offs[1:] - offs[:-1]
+    listid = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+    valid = listid[: nf - n + 1] == listid[n - 1 :]
+    slices = [flat.slice(i, nf - n + 1) for i in range(n)]
+    grams = pc.binary_join_element_wise(*slices, " ")
+    grams = grams.filter(pa.array(valid))
+    if len(grams) == 0:
+        return empty
+    agg = pa.table({"gram": grams}).group_by(["gram"]).aggregate(
+        [([], "count_all")]
+    )
+    return agg.rename_columns(["gram", "n"])
+
+
+def ngram_freq_topk(ds, *, text_col: str = "text", n: int = 2, k: int = 20):
+    """Global top-k n-gram frequency: per-batch count partials → one
+    vocabulary-sized ``groupby(gram).sum`` (the only shuffle) → top-k by
+    ``(n desc, gram asc)``. The same partial-then-tiny-groupby shape as
+    ``grouped_count`` — the fact table is scanned once and only distinct
+    (gram, count) partials enter the exchange."""
+    from ray.data.aggregate import Sum
+
+    partial = ds.select_columns([text_col]).map_batches(
+        lambda b: ngram_counts_batch(b, text_col, n),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    counts = partial.groupby("gram").aggregate(Sum("n", alias_name="n"))
+    return counts.sort(["n", "gram"], descending=[True, False]).limit(k)
