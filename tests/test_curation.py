@@ -292,6 +292,37 @@ def test_prep_corpus_write_and_metrics(ray_session, tmp_path):
     assert seqs[0] == 0 and seqs[-1] == m["n_sequences"] - 1
 
 
+def test_prep_corpus_pin_and_spill_paths_identical(ray_session, tmp_path):
+    """dedup_exec size guard (round 5): the fast "pin" path (corpus under
+    pin_max_rows) and the 100 TB "spill" path must produce the identical
+    packed corpus — and "auto" must route a small corpus to pin."""
+    from logparser_ray.pipelines.prep import prep_corpus
+
+    def run(**kw):
+        res = prep_corpus(
+            "/root/testdata/sf0.001/documents.parquet", budget=512, **kw
+        )
+        df = (
+            res["dataset"]
+            .select_columns(["doc_id", "n_tok", "seq_id"])
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        return df, res["metrics"]
+
+    pin_df, pin_m = run(dedup_exec="pin")
+    spill_df, spill_m = run(
+        dedup_exec="spill", spill_dir=str(tmp_path / "spill")
+    )
+    auto_df, _ = run()  # 500 rows ≤ pin_max_rows → pin branch
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(pin_df, spill_df)
+    pd.testing.assert_frame_equal(pin_df, auto_df)
+    assert pin_m["rows_deduped"] == spill_m["rows_deduped"]
+
+
 def test_tfidf_straddle_detector():
     """The broadcast path's completeness census: whole docs pass, a doc
     whose term rows straddle a block boundary raises instead of silently
