@@ -429,14 +429,15 @@ def q_tpch_group_aggs(sf_dir: str):
             }
         )
 
-    ru = (
-        rollup_counts(
-            orders.map_batches(ym_cents, batch_format="pyarrow", zero_copy_batch=True),
-            ["y", "m"],
-            sum_col="cents",
-        )
-        .to_pandas()
+    prepped = orders.map_batches(
+        ym_cents, batch_format="pyarrow", zero_copy_batch=True
     )
+    ru = rollup_counts(prepped, ["y", "m"], sum_col="cents").to_pandas()
+    # round 5: arbitrary-subset GROUPING SETS via cube_counts — adds the
+    # ('*', month) level rollup's prefix chain cannot express
+    from logparser_ray.stages.aggregate import cube_counts
+
+    cu = cube_counts(prepped, ["y", "m"], sum_col="cents").to_pandas()
     parts = [
         pd.DataFrame(
             {
@@ -460,6 +461,14 @@ def q_tpch_group_aggs(sf_dir: str):
                 "grp": ru["y"].astype(str) + ":" + ru["m"].astype(str),
                 "n": ru["n"].astype("int64"),
                 "cents": ru["cents"].astype("int64"),
+            }
+        ),
+        pd.DataFrame(
+            {
+                "part": "cube",
+                "grp": cu["y"].astype(str) + ":" + cu["m"].astype(str),
+                "n": cu["n"].astype("int64"),
+                "cents": cu["cents"].astype("int64"),
             }
         ),
     ]
@@ -2524,7 +2533,15 @@ ORACLE = {
         "FROM (SELECT strftime(o_orderdate, '%Y') AS y, "
         "strftime(o_orderdate, '%m') AS m, "
         "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders) "
-        "GROUP BY ROLLUP(y, m)"
+        "GROUP BY ROLLUP(y, m) "
+        "UNION ALL "
+        "SELECT 'cube' AS part, "
+        "coalesce(y, '*') || ':' || coalesce(m, '*') AS grp, "
+        "count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents "
+        "FROM (SELECT strftime(o_orderdate, '%Y') AS y, "
+        "strftime(o_orderdate, '%m') AS m, "
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders) "
+        "GROUP BY CUBE(y, m)"
     ),
     # the composed prep pipeline, end to end: gate → (identity) redact →
     # mixture → dedup-first-per-text → pack. Thresholds are the hex of

@@ -191,3 +191,88 @@ def aligned_counts(left_ds, right_ds, key: str, *, batch_size=None):
         )
 
     return merged.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouping_sets_counts(ds, keys: list[str], sets: "list[list[str]]", *,
+                         sum_col: str | None = None, alias: str = "n",
+                         fill: str = "*", batch_size=None):
+    """SQL ``GROUP BY GROUPING SETS`` / ``CUBE``: grouped counts (+ one
+    optional int64 sum) at every requested subset of ``keys``.
+
+    Same scale shape as ``rollup_counts``: the fact table is scanned once
+    into the finest (all-keys) level via the combiner → tiny-groupby
+    exchange; every requested set re-aggregates that summary-sized result
+    (any subset folds correctly from the full key combination — unlike
+    rollup's prefix chain, sets here are arbitrary, e.g. ``('*', month)``).
+    Key columns must be strings; keys absent from a set carry ``fill``.
+    For a full cube pass ``sets=[all subsets]``.
+    """
+    for s in sets:
+        unknown = set(s) - set(keys)
+        if unknown:
+            raise ValueError(f"grouping set {s!r} has unknown keys {unknown}")
+
+    aggs = [([], "count_all")] if sum_col is None else [
+        (sum_col, "sum"), ([], "count_all")
+    ]
+    out_cols = [alias] if sum_col is None else [sum_col, alias]
+
+    def partial(b: pa.Table) -> pa.Table:
+        cols = keys + ([sum_col] if sum_col else [])
+        agg = b.select(cols).group_by(keys).aggregate(aggs)
+        return agg.rename_columns(keys + out_cols)
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    sums = [Sum(alias, alias_name=alias)] + (
+        [Sum(sum_col, alias_name=sum_col)] if sum_col else []
+    )
+    finest = partials.groupby(keys).aggregate(*sums)
+    order = keys + out_cols
+
+    def pad(dropped: list[str]):
+        def fn(b: pa.Table) -> pa.Table:
+            for c in dropped:
+                b = b.append_column(c, pa.array([fill] * len(b), pa.string()))
+            return b.select(order)
+        return fn
+
+    levels = []
+    for s in sets:
+        kept = [k for k in keys if k in s]  # canonical key order
+        dropped = [k for k in keys if k not in s]
+        if set(kept) == set(keys):
+            lvl = finest
+        elif kept:
+            lvl = finest.groupby(kept).aggregate(*sums)
+        else:
+            lvl = (
+                finest.map_batches(
+                    lambda b: b.append_column(
+                        "_g", pa.array([0] * len(b), pa.int8())
+                    ),
+                    batch_format="pyarrow",
+                )
+                .groupby("_g")
+                .aggregate(*sums)
+                # _g is dropped by pad()'s select(order)
+            )
+        levels.append(lvl.map_batches(pad(dropped), batch_format="pyarrow"))
+    u = levels[0]
+    for lvl in levels[1:]:
+        u = u.union(lvl)
+    return u
+
+
+def cube_counts(ds, keys: list[str], **kw):
+    """``GROUP BY CUBE(keys...)`` — all 2^k subsets via
+    ``grouping_sets_counts`` (finest level computed once)."""
+    from itertools import combinations
+
+    sets = [
+        list(c) for r in range(len(keys), -1, -1)
+        for c in combinations(keys, r)
+    ]
+    return grouping_sets_counts(ds, keys, sets, **kw)

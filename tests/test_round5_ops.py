@@ -238,3 +238,40 @@ def test_aligned_counts_full_outer(ray_session):
         }
     )
     pd.testing.assert_frame_equal(out, ref)
+
+
+def test_grouping_sets_and_cube(ray_session):
+    rng = np.random.default_rng(5)
+    k1 = rng.choice(["a", "b"], 200).tolist()
+    k2 = rng.choice(["x", "y", "z"], 200).tolist()
+    t = pa.table({"k1": k1, "k2": k2})
+    from logparser_ray.stages.aggregate import cube_counts, grouping_sets_counts
+
+    df = pd.DataFrame({"k1": k1, "k2": k2})
+    out = (
+        cube_counts(_ds(t).repartition(4), ["k1", "k2"])
+        .to_pandas()
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    fine = df.groupby(["k1", "k2"], as_index=False).size().rename(columns={"size": "n"})
+    l1 = df.groupby("k1", as_index=False).size().rename(columns={"size": "n"})
+    l1["k2"] = "*"
+    l2 = df.groupby("k2", as_index=False).size().rename(columns={"size": "n"})
+    l2["k1"] = "*"
+    tot = pd.DataFrame({"k1": ["*"], "k2": ["*"], "n": [len(df)]})
+    ref = (
+        pd.concat([fine, l1, l2, tot], ignore_index=True)[["k1", "k2", "n"]]
+        .astype({"n": "int64"})
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, ref)
+
+    # the set rollup can't express: only ('*', k2)
+    only = grouping_sets_counts(_ds(t), ["k1", "k2"], [["k2"]]).to_pandas()
+    assert set(only["k1"]) == {"*"}
+    assert dict(zip(only["k2"], only["n"])) == dict(zip(l2["k2"], l2["n"]))
+
+    with pytest.raises(ValueError, match="unknown keys"):
+        grouping_sets_counts(_ds(t), ["k1"], [["nope"]])
