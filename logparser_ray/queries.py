@@ -1196,8 +1196,11 @@ def q_embeddings_knn(sf_dir: str):
 
 
 def q_transcripts_sink_counts(sf_dir: str):
-    """The flagship per-sink aggregate (A14) over the transcripts fixture."""
-    tdir, _ = fixtures.ensure_transcripts(_turns_for(sf_dir))
+    """The flagship per-sink aggregate (A14) over the transcripts fixture.
+    Capped at the 60k fixture the golden-path SQL oracle is pinned to
+    (the oracle references the fixed ``golden_n60000_s42`` parquet, so the
+    engine side must run the SAME corpus at every sf)."""
+    tdir, _ = fixtures.ensure_transcripts(min(_turns_for(sf_dir), 60_000))
     ds = ray.data.read_parquet(tdir)
     out = flagship.parse_enrich(ds, with_params=False)
     return sink_counts(out)
@@ -1208,10 +1211,11 @@ def q_transcripts_templates(sf_dir: str):
     unioned with the O1 per-conversation text-hash conformance rows
     (audit-cap discipline — freed the slot transcripts_conv_stats holds).
     ``part='templates'``: (template_id, template, occurrences);
-    ``part='conv_hash'``: (conv_id, md5-16, n_turns)."""
+    ``part='conv_hash'``: (conv_id, md5-16, n_turns). Capped at the 60k
+    fixture the fixture-path SQL oracle is pinned to."""
     import pandas as pd
 
-    tdir, _ = fixtures.ensure_transcripts(_turns_for(sf_dir))
+    tdir, _ = fixtures.ensure_transcripts(min(_turns_for(sf_dir), 60_000))
     ds = ray.data.read_parquet(tdir)
     out = flagship.parse_enrich(ds, with_params=False)
     tm = template_occurrences(out).to_pandas()
