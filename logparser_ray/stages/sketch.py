@@ -320,6 +320,13 @@ def grouped_corr(
                 }
             )
         mx = max(int(np.abs(x).max()), int(np.abs(y).max()), 1)
+        # chunking bounds the SUM of products, but each x·x / x·y element
+        # must itself fit int64 — past 2³¹ numpy would wrap silently
+        if mx >= (1 << 31):
+            raise ValueError(
+                f"grouped_corr inputs must be |v| < 2^31 (got {mx}); "
+                "rescale the integerization (e.g. coarser cents)"
+            )
         step = max(1, int((1 << 62) // (mx * mx)))
         outs = []
         for lo in range(0, n, step):

@@ -275,3 +275,10 @@ def test_grouping_sets_and_cube(ray_session):
 
     with pytest.raises(ValueError, match="unknown keys"):
         grouping_sets_counts(_ds(t), ["k1"], [["nope"]])
+
+
+def test_grouped_corr_rejects_overflowing_magnitudes(ray_session):
+    big = np.array([1 << 31, 5], dtype=np.int64)
+    t = pa.table({"g": ["a", "a"], "x": pa.array(big), "y": pa.array(big)})
+    with pytest.raises(Exception, match="2\\^31"):
+        grouped_corr(_ds(t), ["g"], "x", "y")
