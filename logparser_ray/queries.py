@@ -68,8 +68,37 @@ def _turns_for(sf_dir: str) -> int:
 
 
 def q_events_by_type(sf_dir: str):
-    ds = _read(sf_dir, "events", columns=["event_type"])
-    return grouped_count(ds, ["event_type"], alias="n")
+    """Tagged union, both parts SQL-oracled: ``part='by_type'`` — grouped
+    event counts (the original entry); ``part='retention'`` — round-5
+    weekly cohort-retention triangle (``cohort_retention``): distinct
+    users per (first-activity cohort week, week offset), via grouped-min
+    cohorts + size-guarded attach + a distinct-fold — the events stream
+    itself never shuffles."""
+    import pandas as pd
+
+    from logparser_ray.stages.funnel import cohort_retention
+
+    bt = grouped_count(
+        _read(sf_dir, "events", columns=["event_type"]), ["event_type"], alias="n"
+    ).to_pandas()
+    rt = cohort_retention(
+        _read(sf_dir, "events", columns=["user_id", "ts"])
+    ).to_pandas()
+    parts = [
+        pd.DataFrame(
+            {"part": "by_type", "grp": bt["event_type"], "n": bt["n"].astype("int64")}
+        ),
+        pd.DataFrame(
+            {
+                "part": "retention",
+                "grp": rt["cohort_week"].astype(str)
+                + ":"
+                + rt["week_offset"].astype(str),
+                "n": rt["n_users"].astype("int64"),
+            }
+        ),
+    ]
+    return pd.concat(parts, ignore_index=True)
 
 
 def q_events_hourly(sf_dir: str):
@@ -2228,7 +2257,20 @@ def _split_oracle_case(digest_expr: str) -> str:
 
 
 ORACLE = {
-    "events_by_type": "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    # part='by_type': grouped counts; part='retention': the weekly
+    # cohort-retention triangle (distinct users per cohort-week × offset)
+    "events_by_type": (
+        "WITH c AS (SELECT user_id, min(date_trunc('week', ts)) AS w0 "
+        "FROM events GROUP BY 1), "
+        "a AS (SELECT DISTINCT e.user_id, c.w0, "
+        "CAST((epoch(date_trunc('week', e.ts)) - epoch(c.w0)) // (7 * 86400) "
+        "AS BIGINT) AS off FROM events e JOIN c USING (user_id)) "
+        "SELECT 'by_type' AS part, event_type AS grp, count(*) AS n "
+        "FROM events GROUP BY 2 "
+        "UNION ALL "
+        "SELECT 'retention', strftime(w0, '%Y-%m-%d') || ':' || off::VARCHAR, "
+        "count(*)::BIGINT FROM a GROUP BY 2"
+    ),
     # part='hourly': grouped hourly counts; part='align_month': FULL OUTER
     # month alignment of event vs order counts (-1 = side absent)
     "events_hourly": (

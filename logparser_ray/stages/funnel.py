@@ -110,3 +110,91 @@ def funnel_counts(
         for i, (name, d) in enumerate(per_stage)
     ]
     return pd.DataFrame(rows)
+
+
+def cohort_retention(
+    ds,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+):
+    """Weekly cohort-retention analysis: assign every user to the week of
+    their FIRST event (the cohort), then count DISTINCT users active per
+    (cohort_week, week_offset) — the classic retention triangle.
+
+    Scale shape, all existing primitives: one grouped-min exchange for the
+    cohort table (per-batch combiner partials), a size-guarded
+    ``attach_dim`` broadcast of the per-user cohort week, a per-batch
+    DISTINCT (user, cohort, offset) reduction, and one summary-sized
+    groupby — the events stream itself never shuffles. Weeks are
+    Monday-start (`floor_temporal(unit='week')` ≡ DuckDB
+    ``date_trunc('week')``), offsets are integer week deltas.
+
+    Returns a Dataset ``(cohort_week: string 'YYYY-MM-DD', week_offset:
+    int64, n_users: int64)``.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from logparser_ray.stages.joins import attach_dim
+
+    def to_week(b: pa.Table) -> pa.Table:
+        wk = pc.floor_temporal(b[ts_col].combine_chunks(), unit="week")
+        return pa.table({user_col: b[user_col], "week": wk})
+
+    weeks = ds.select_columns([user_col, ts_col]).map_batches(
+        to_week, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cohort = _grouped_min(weeks, user_col, "week", "w0").materialize()
+
+    with_cohort = attach_dim(
+        weeks, cohort, fact_key=user_col, dim_key=user_col, dim_cols=["w0"]
+    )
+
+    def distinct_triples(b: pa.Table) -> pa.Table:
+        # normalize BOTH to µs before the epoch math: the grouped-min fold
+        # can hand the cohort week back at a coarser timestamp unit, and a
+        # bare int64 cast would then mix µs with s epochs
+        w = (
+            b["week"].combine_chunks().cast(pa.timestamp("us"))
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        w0c = b["w0"].combine_chunks().cast(pa.timestamp("us"))
+        w0 = w0c.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        off = (w - w0) // (7 * 86_400_000_000)  # µs-epoch weeks, exact
+        t = pa.table(
+            {
+                user_col: b[user_col],
+                "cohort_week": pc.strftime(w0c, format="%Y-%m-%d"),
+                "week_offset": pa.array(off.astype(np.int64)),
+            }
+        )
+        agg = t.group_by([user_col, "cohort_week", "week_offset"]).aggregate([])
+        return agg
+
+    triples = with_cohort.map_batches(
+        distinct_triples, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # exact distinct: fold duplicate (user, cohort, offset) rows across
+    # batches (Count aggregate only to force the fold; its value is
+    # unused), then count users per cell — both exchanges are bounded by
+    # distinct user-weeks, not by event volume
+    from ray.data.aggregate import Count
+
+    folded = triples.groupby(
+        [user_col, "cohort_week", "week_offset"]
+    ).aggregate(Count(alias_name="_dup"))
+
+    def cell_partial(b: pa.Table) -> pa.Table:
+        agg = b.select(["cohort_week", "week_offset"]).group_by(
+            ["cohort_week", "week_offset"]
+        ).aggregate([([], "count_all")])
+        return agg.rename_columns(["cohort_week", "week_offset", "n_users"])
+
+    cells = folded.map_batches(
+        cell_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return cells.groupby(["cohort_week", "week_offset"]).aggregate(
+        Sum("n_users", alias_name="n_users")
+    )

@@ -282,3 +282,36 @@ def test_grouped_corr_rejects_overflowing_magnitudes(ray_session):
     t = pa.table({"g": ["a", "a"], "x": pa.array(big), "y": pa.array(big)})
     with pytest.raises(Exception, match="2\\^31"):
         grouped_corr(_ds(t), ["g"], "x", "y")
+
+
+def test_cohort_retention_multi_cohort(ray_session):
+    from logparser_ray.stages.funnel import cohort_retention
+
+    rows = [
+        # u1: first week W0 (Mon 2024-01-01), returns W1 and W3
+        _ev(1, "x", "2024-01-02T10:00:00"),
+        _ev(1, "x", "2024-01-10T10:00:00"),
+        _ev(1, "x", "2024-01-24T10:00:00"),
+        # u2: cohort W0, active only W0 (two events — distinct fold)
+        _ev(2, "x", "2024-01-03T00:00:00"),
+        _ev(2, "x", "2024-01-06T00:00:00"),
+        # u3: cohort W1, returns W2
+        _ev(3, "x", "2024-01-08T00:00:00"),
+        _ev(3, "x", "2024-01-15T00:00:00"),
+    ]
+    t = pa.Table.from_pylist(rows)
+    out = (
+        cohort_retention(_ds(t).repartition(3))
+        .to_pandas()
+        .sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+    ref = pd.DataFrame(
+        {
+            "cohort_week": ["2024-01-01"] * 3 + ["2024-01-08"] * 2,
+            "week_offset": [0, 1, 3, 0, 1],
+            "n_users": [2, 1, 1, 1, 1],
+        }
+    )
+    got = out.astype({"week_offset": "int64", "n_users": "int64"})
+    pd.testing.assert_frame_equal(got, ref.astype({"week_offset": "int64", "n_users": "int64"}))
