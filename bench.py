@@ -60,6 +60,34 @@ def _ambient_probe() -> dict:
     }
 
 
+def _events_funnel(sf_dir: str):
+    """Round-5 funnel baseline: the strictly-after view→click→purchase
+    cascade alone (the registry entry unions it with the extremes count)."""
+    import ray
+
+    from logparser_ray.queries import FUNNEL_STAGES, _parquet_rows
+    from logparser_ray.stages.funnel import funnel_counts_grouped
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts"],
+    )
+    return funnel_counts_grouped(ds, FUNNEL_STAGES, n_rows=_parquet_rows(sf_dir, "events"))
+
+
+def _events_retention(sf_dir: str):
+    """Round-5 retention baseline: the weekly cohort triangle alone."""
+    import ray
+
+    from logparser_ray.queries import _parquet_rows
+    from logparser_ray.stages.funnel import cohort_retention_grouped
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    return cohort_retention_grouped(ds, n_rows=_parquet_rows(sf_dir, "events"))
+
+
 def run_bench() -> dict:
     import ray
 
@@ -169,6 +197,8 @@ def run_bench() -> dict:
         # bigram pass is timed separately
         ("docs_word_freq_topk", q_docs_unigram_topk),
         ("docs_bigram_topk", q_docs_bigram_topk),
+        ("events_funnel", _events_funnel),
+        ("events_retention", _events_retention),
         ("embeddings_knn", QUERIES["embeddings_knn"]),
         # the MinHash path alone (not the consolidated docs_near_dup_audit
         # union) so the timing stays comparable with BENCH_r01/r02

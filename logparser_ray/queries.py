@@ -76,13 +76,14 @@ def q_events_by_type(sf_dir: str):
     itself never shuffles."""
     import pandas as pd
 
-    from logparser_ray.stages.funnel import cohort_retention
+    from logparser_ray.stages.funnel import cohort_retention_grouped
 
     bt = grouped_count(
         _read(sf_dir, "events", columns=["event_type"]), ["event_type"], alias="n"
     ).to_pandas()
-    rt = cohort_retention(
-        _read(sf_dir, "events", columns=["user_id", "ts"])
+    rt = cohort_retention_grouped(
+        _read(sf_dir, "events", columns=["user_id", "ts"]),
+        n_rows=_parquet_rows(sf_dir, "events"),
     ).to_pandas()
     parts = [
         pd.DataFrame(
@@ -631,7 +632,7 @@ def q_events_union_extremes(sf_dir: str):
     loop)."""
     import pandas as pd
 
-    from logparser_ray.stages.funnel import funnel_counts
+    from logparser_ray.stages.funnel import funnel_counts_grouped
 
     base = _read(sf_dir, "events", columns=["event_type", "value"])
     errors = base.filter(expr="event_type == 'error'")
@@ -639,9 +640,10 @@ def q_events_union_extremes(sf_dir: str):
     u = errors.union(high)
     ext = grouped_count(u, ["event_type"], alias="n").to_pandas()
 
-    fun = funnel_counts(
+    fun = funnel_counts_grouped(
         _read(sf_dir, "events", columns=["user_id", "event_type", "ts"]),
         FUNNEL_STAGES,
+        n_rows=_parquet_rows(sf_dir, "events"),
     )
     parts = [
         pd.DataFrame(

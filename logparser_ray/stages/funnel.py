@@ -198,3 +198,174 @@ def cohort_retention(
     return cells.groupby(["cohort_week", "week_offset"]).aggregate(
         Sum("n_users", alias_name="n_users")
     )
+
+
+def funnel_counts_grouped(
+    ds,
+    stages: "list[str]",
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    n_rows: "int | None" = None,
+):
+    """Single-exchange funnel: ONE keyed repartition on ``user_col``
+    (complete user groups per block), then a per-block vectorized
+    strictly-after cascade over ALL stages at once — per stage, a masked
+    segment-min (`np.minimum.reduceat`) yields each user's qualifying
+    time, and unqualified users carry +inf so nothing later can qualify.
+    Per-block stage-count partials fold in one driver-sized sum.
+
+    Identical semantics to ``funnel_counts`` (equality-tested), at one
+    row-scale exchange instead of k groupby+attach rounds. Partitioning
+    assumption: a single user's events fit one block (same contract as
+    the bucketed windows — per-user volume, not corpus volume); for
+    adversarially hot users the k-pass ``funnel_counts`` has no such
+    assumption.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from logparser_ray.stages.exchange import hash_shuffle
+    from logparser_ray.stages.windows import _exchange_blocks
+
+    k = len(stages)
+    if k < 1:
+        raise ValueError("funnel needs at least one stage")
+    stage_idx = {s: i for i, s in enumerate(stages)}
+
+    def block_cascade(b: pa.Table) -> pa.Table:
+        n = len(b)
+        if n == 0:
+            return pa.table({"stage_idx": pa.array([], pa.int64()),
+                             "n_users": pa.array([], pa.int64())})
+        users = b[user_col].to_numpy(zero_copy_only=False)
+        ts = (
+            b[ts_col].combine_chunks().cast(pa.timestamp("us"))
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        et = b[type_col].to_numpy(zero_copy_only=False)
+        code = np.full(n, -1, dtype=np.int64)
+        for s, i in stage_idx.items():
+            code[et == s] = i
+        order = np.lexsort((ts, users))
+        users, ts, code = users[order], ts[order], code[order]
+        starts = np.flatnonzero(np.concatenate(([True], users[1:] != users[:-1])))
+        seg = np.cumsum(np.concatenate(([0], (users[1:] != users[:-1]).astype(np.int64))))
+        INF = np.iinfo(np.int64).max
+        prev = np.full(len(starts), np.iinfo(np.int64).min, dtype=np.int64)
+        counts = np.zeros(k, dtype=np.int64)
+        for i in range(k):
+            mask = (code == i) & (ts > prev[seg])
+            vals = np.where(mask, ts, INF)
+            tmin = np.minimum.reduceat(vals, starts)
+            # reduceat on a zero-length trailing segment can't happen:
+            # starts are genuine group heads
+            qual = tmin < INF
+            counts[i] = int(qual.sum())
+            prev = np.where(qual, tmin, INF)
+        return pa.table(
+            {
+                "stage_idx": pa.array(np.arange(k, dtype=np.int64)),
+                "n_users": pa.array(counts),
+            }
+        )
+
+    proj = ds.select_columns([user_col, type_col, ts_col])
+    with hash_shuffle(proj):
+        partials = (
+            proj.repartition(
+                num_blocks=_exchange_blocks(n_rows), keys=[user_col]
+            )
+            .map_batches(
+                block_cascade, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .to_pandas()  # k rows per block — driver-sized
+        )
+    agg = (
+        partials.groupby("stage_idx", as_index=False)["n_users"].sum()
+        if len(partials)
+        else pd.DataFrame({"stage_idx": [], "n_users": []})
+    )
+    out = pd.DataFrame(
+        {"stage_idx": range(k), "stage": stages}
+    ).merge(agg, on="stage_idx", how="left")
+    out["n_users"] = out["n_users"].fillna(0).astype("int64")
+    return out
+
+
+def cohort_retention_grouped(
+    ds,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    n_rows: "int | None" = None,
+):
+    """Single-exchange cohort retention: ONE keyed repartition on
+    ``user_col``, then per block each user's cohort week (min) and
+    DISTINCT week offsets come from sorted segment ops; per-block
+    (cohort_week, offset) count partials fold in one summary-sized
+    groupby. Identical results to ``cohort_retention`` (equality-tested);
+    same per-user-fits-a-block contract as ``funnel_counts_grouped``."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from logparser_ray.stages.exchange import hash_shuffle
+    from logparser_ray.stages.windows import _exchange_blocks
+
+    def block_retention(b: pa.Table) -> pa.Table:
+        n = len(b)
+        empty = pa.table(
+            {
+                "cohort_week": pa.array([], pa.string()),
+                "week_offset": pa.array([], pa.int64()),
+                "n_users": pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        users = b[user_col].to_numpy(zero_copy_only=False)
+        wk_ts = pc.floor_temporal(
+            b[ts_col].combine_chunks().cast(pa.timestamp("us")), unit="week"
+        )
+        wk = wk_ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((wk, users))
+        users, wk = users[order], wk[order]
+        newu = np.concatenate(([True], users[1:] != users[:-1]))
+        starts = np.flatnonzero(newu)
+        seg = np.cumsum(newu.astype(np.int64)) - 1
+        w0 = wk[starts][seg]  # per-row cohort week (segment min = first sorted)
+        off = (wk - w0) // (7 * 86_400_000_000)
+        # distinct (user, offset): sorted, so duplicates are adjacent
+        keep = np.concatenate(
+            ([True], (users[1:] != users[:-1]) | (off[1:] != off[:-1]))
+        )
+        cw = pc.strftime(
+            pa.array(w0[keep], pa.timestamp("us")), format="%Y-%m-%d"
+        )
+        t = pa.table(
+            {
+                "cohort_week": cw,
+                "week_offset": pa.array(off[keep].astype(np.int64)),
+            }
+        )
+        agg = t.group_by(["cohort_week", "week_offset"]).aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns(["cohort_week", "week_offset", "n_users"])
+
+    proj = ds.select_columns([user_col, ts_col])
+    with hash_shuffle(proj):
+        cells = (
+            proj.repartition(
+                num_blocks=_exchange_blocks(n_rows), keys=[user_col]
+            )
+            .map_batches(
+                block_retention, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .materialize()
+        )
+    return cells.groupby(["cohort_week", "week_offset"]).aggregate(
+        Sum("n_users", alias_name="n_users")
+    )

@@ -9,7 +9,12 @@ import pyarrow as pa
 import pytest
 
 from logparser_ray.stages.aggregate import aligned_counts, rollup_counts
-from logparser_ray.stages.funnel import funnel_counts
+from logparser_ray.stages.funnel import (
+    cohort_retention,
+    cohort_retention_grouped,
+    funnel_counts,
+    funnel_counts_grouped,
+)
 from logparser_ray.stages.sketch import grouped_corr
 from logparser_ray.stages.textstats import ngram_counts_batch, ngram_freq_topk
 
@@ -150,6 +155,10 @@ def test_funnel_strictly_after_semantics(ray_session):
     t = pa.Table.from_pylist(rows)
     out = funnel_counts(_ds(t).repartition(3), ["A", "B", "C"])
     got = dict(zip(out["stage"], out["n_users"]))
+    # the single-exchange path must agree exactly (and on this layout a
+    # user's rows straddle repartition inputs, exercising the exchange)
+    g = funnel_counts_grouped(_ds(t).repartition(3), ["A", "B", "C"])
+    assert dict(zip(g["stage"], g["n_users"])) == got
     # B: u1 (00:01 > 00:00) and u5 (00:02 > 00:00). NOT u2 (their only B
     # precedes their first A) nor u3 (simultaneous is not strictly after).
     # C: u1 only — u5's C (00:01) precedes their B-qualifying time (00:02).
@@ -160,6 +169,8 @@ def test_funnel_empty_stage_downstream(ray_session):
     t = pa.Table.from_pylist([_ev(1, "A", "2024-01-01T00:00:00")])
     out = funnel_counts(_ds(t), ["A", "B", "C"])
     assert out["n_users"].tolist() == [1, 0, 0]
+    g = funnel_counts_grouped(_ds(t), ["A", "B", "C"])
+    assert g["n_users"].tolist() == [1, 0, 0]
 
 
 # ---------------------------------------------------------------------------
@@ -284,9 +295,8 @@ def test_grouped_corr_rejects_overflowing_magnitudes(ray_session):
         grouped_corr(_ds(t), ["g"], "x", "y")
 
 
-def test_cohort_retention_multi_cohort(ray_session):
-    from logparser_ray.stages.funnel import cohort_retention
-
+@pytest.mark.parametrize("impl", [cohort_retention, cohort_retention_grouped])
+def test_cohort_retention_multi_cohort(ray_session, impl):
     rows = [
         # u1: first week W0 (Mon 2024-01-01), returns W1 and W3
         _ev(1, "x", "2024-01-02T10:00:00"),
@@ -301,7 +311,7 @@ def test_cohort_retention_multi_cohort(ray_session):
     ]
     t = pa.Table.from_pylist(rows)
     out = (
-        cohort_retention(_ds(t).repartition(3))
+        impl(_ds(t).repartition(3))
         .to_pandas()
         .sort_values(["cohort_week", "week_offset"])
         .reset_index(drop=True)
