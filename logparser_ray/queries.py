@@ -84,7 +84,7 @@ def q_events_by_type(sf_dir: str):
     rt = cohort_retention_grouped(
         _read(sf_dir, "events", columns=["user_id", "ts"]),
         n_rows=_parquet_rows(sf_dir, "events"),
-    ).to_pandas()
+    )
     parts = [
         pd.DataFrame(
             {"part": "by_type", "grp": bt["event_type"], "n": bt["n"].astype("int64")}

@@ -310,12 +310,10 @@ def test_cohort_retention_multi_cohort(ray_session, impl):
         _ev(3, "x", "2024-01-15T00:00:00"),
     ]
     t = pa.Table.from_pylist(rows)
-    out = (
-        impl(_ds(t).repartition(3))
-        .to_pandas()
-        .sort_values(["cohort_week", "week_offset"])
-        .reset_index(drop=True)
-    )
+    res = impl(_ds(t).repartition(3))
+    if not isinstance(res, pd.DataFrame):
+        res = res.to_pandas()
+    out = res.sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
     ref = pd.DataFrame(
         {
             "cohort_week": ["2024-01-01"] * 3 + ["2024-01-08"] * 2,
