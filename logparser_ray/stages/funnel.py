@@ -200,6 +200,63 @@ def cohort_retention(
     )
 
 
+def funnel_block_cascade(
+    b: pa.Table,
+    stages: "list[str]",
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> pa.Table:
+    """The per-block funnel kernel (pure pyarrow/numpy, no Ray): given a
+    block holding COMPLETE user groups, run the strictly-after cascade for
+    every user simultaneously — per stage, a masked segment-min
+    (`np.minimum.reduceat`) yields each user's qualifying time; users that
+    miss a stage carry +inf so no later stage can qualify. Returns the
+    block's ``(stage_idx, n_users)`` partial counts. Module-level so the
+    Hypothesis property suite can drive it directly against a pure-Python
+    reference."""
+    import numpy as np
+
+    k = len(stages)
+    stage_idx = {s: i for i, s in enumerate(stages)}
+    n = len(b)
+    if n == 0:
+        return pa.table({"stage_idx": pa.array([], pa.int64()),
+                         "n_users": pa.array([], pa.int64())})
+    users = b[user_col].to_numpy(zero_copy_only=False)
+    ts = (
+        b[ts_col].combine_chunks().cast(pa.timestamp("us"))
+        .cast(pa.int64()).to_numpy(zero_copy_only=False)
+    )
+    et = b[type_col].to_numpy(zero_copy_only=False)
+    code = np.full(n, -1, dtype=np.int64)
+    for s, i in stage_idx.items():
+        code[et == s] = i
+    order = np.lexsort((ts, users))
+    users, ts, code = users[order], ts[order], code[order]
+    starts = np.flatnonzero(np.concatenate(([True], users[1:] != users[:-1])))
+    seg = np.cumsum(np.concatenate(([0], (users[1:] != users[:-1]).astype(np.int64))))
+    INF = np.iinfo(np.int64).max
+    prev = np.full(len(starts), np.iinfo(np.int64).min, dtype=np.int64)
+    counts = np.zeros(k, dtype=np.int64)
+    for i in range(k):
+        mask = (code == i) & (ts > prev[seg])
+        vals = np.where(mask, ts, INF)
+        tmin = np.minimum.reduceat(vals, starts)
+        # reduceat on a zero-length trailing segment can't happen:
+        # starts are genuine group heads
+        qual = tmin < INF
+        counts[i] = int(qual.sum())
+        prev = np.where(qual, tmin, INF)
+    return pa.table(
+        {
+            "stage_idx": pa.array(np.arange(k, dtype=np.int64)),
+            "n_users": pa.array(counts),
+        }
+    )
+
+
 def funnel_counts_grouped(
     ds,
     stages: "list[str]",
@@ -232,43 +289,10 @@ def funnel_counts_grouped(
     k = len(stages)
     if k < 1:
         raise ValueError("funnel needs at least one stage")
-    stage_idx = {s: i for i, s in enumerate(stages)}
 
     def block_cascade(b: pa.Table) -> pa.Table:
-        n = len(b)
-        if n == 0:
-            return pa.table({"stage_idx": pa.array([], pa.int64()),
-                             "n_users": pa.array([], pa.int64())})
-        users = b[user_col].to_numpy(zero_copy_only=False)
-        ts = (
-            b[ts_col].combine_chunks().cast(pa.timestamp("us"))
-            .cast(pa.int64()).to_numpy(zero_copy_only=False)
-        )
-        et = b[type_col].to_numpy(zero_copy_only=False)
-        code = np.full(n, -1, dtype=np.int64)
-        for s, i in stage_idx.items():
-            code[et == s] = i
-        order = np.lexsort((ts, users))
-        users, ts, code = users[order], ts[order], code[order]
-        starts = np.flatnonzero(np.concatenate(([True], users[1:] != users[:-1])))
-        seg = np.cumsum(np.concatenate(([0], (users[1:] != users[:-1]).astype(np.int64))))
-        INF = np.iinfo(np.int64).max
-        prev = np.full(len(starts), np.iinfo(np.int64).min, dtype=np.int64)
-        counts = np.zeros(k, dtype=np.int64)
-        for i in range(k):
-            mask = (code == i) & (ts > prev[seg])
-            vals = np.where(mask, ts, INF)
-            tmin = np.minimum.reduceat(vals, starts)
-            # reduceat on a zero-length trailing segment can't happen:
-            # starts are genuine group heads
-            qual = tmin < INF
-            counts[i] = int(qual.sum())
-            prev = np.where(qual, tmin, INF)
-        return pa.table(
-            {
-                "stage_idx": pa.array(np.arange(k, dtype=np.int64)),
-                "n_users": pa.array(counts),
-            }
+        return funnel_block_cascade(
+            b, stages, user_col=user_col, type_col=type_col, ts_col=ts_col
         )
 
     proj = ds.select_columns([user_col, type_col, ts_col])

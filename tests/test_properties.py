@@ -125,3 +125,85 @@ def test_ngram_strings_match_python_reference(texts, n):
             want_d.append(i)
     assert grams.to_pylist() == want_g
     assert di.tolist() == want_d
+
+
+# ---------------------------------------------------------------------------
+# round-5 pure kernels: funnel cascade + n-gram counter
+# ---------------------------------------------------------------------------
+
+_ev_strategy = st.tuples(
+    st.integers(min_value=0, max_value=5),          # user
+    st.sampled_from(["A", "B", "C", "x"]),          # event type (x = noise)
+    st.integers(min_value=0, max_value=30),         # ts (seconds; ties likely)
+)
+
+
+def _funnel_ref(events, stages):
+    """Pure-Python strictly-after cascade reference."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, e, t in events:
+        by_user[u].append((t, e))
+    counts = [0] * len(stages)
+    for u, evs in by_user.items():
+        evs.sort()
+        prev = float("-inf")
+        for i, s in enumerate(stages):
+            cand = [t for t, e in evs if e == s and t > prev]
+            if not cand:
+                break
+            prev = min(cand)
+            counts[i] += 1
+    return counts
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(_ev_strategy, min_size=0, max_size=60))
+def test_funnel_block_cascade_matches_reference(events):
+    import numpy as np
+    import pyarrow as pa
+
+    from logparser_ray.stages.funnel import funnel_block_cascade
+
+    stages = ["A", "B", "C"]
+    t = pa.table(
+        {
+            "user_id": pa.array([u for u, _, _ in events], pa.int64()),
+            "event_type": pa.array([e for _, e, _ in events]),
+            "ts": pa.array(
+                np.array([ts * 1_000_000 for _, _, ts in events], dtype="datetime64[us]")
+            ),
+        }
+    )
+    out = funnel_block_cascade(t, stages)
+    got = out["n_users"].to_pylist() if len(out) else [0, 0, 0]
+    assert got == _funnel_ref(events, stages) or (not events and got == [])
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=8).map(
+            " ".join
+        ),
+        min_size=0,
+        max_size=10,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_ngram_counts_batch_matches_reference(texts, n):
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from logparser_ray.stages.textstats import ngram_counts_batch
+
+    out = ngram_counts_batch(pa.table({"text": pa.array(texts, pa.string())}), "text", n)
+    got = dict(zip(out["gram"].to_pylist(), out["n"].to_pylist()))
+    ref = Counter()
+    for t in texts:
+        toks = t.split(" ")
+        for i in range(len(toks) - n + 1):
+            ref[" ".join(toks[i : i + n])] += 1
+    assert got == dict(ref)
