@@ -70,8 +70,6 @@ def rollup_counts(ds, keys: list[str], *, sum_col: str | None = None,
     no second all-to-all over rows. Key columns must be strings (the
     rolled-out levels pad them with ``fill``); counts/sums are int64.
     """
-    import pyarrow.compute as pc
-
     aggs = [([], "count_all")] if sum_col is None else [
         (sum_col, "sum"), ([], "count_all")
     ]

@@ -7,20 +7,26 @@ sessionization literature): given an ordered list of stages
 ``stages[k]`` occurs STRICTLY AFTER the time at which they reached stage
 *k-1* (each stage's qualifying time is the earliest such event).
 
-Scale shape — k passes, never a per-user loop:
+Two scale shapes, equality-tested against each other:
 
-- stage 0 is one grouped-min over the type-filtered stream (per-batch
-  combiner partials → one tiny groupby, same as ``grouped_count``);
-- stage k attaches the previous stage's per-user qualifying time via the
-  size-guarded ``attach_dim`` (broadcast dictionary under the guard, a
-  distributed left join past it), filters ``ts > t_prev`` vectorized, and
-  runs the same grouped-min. The attach side shrinks monotonically
-  (funnels only lose users), and the fact stream is read once per stage
-  with the type filter pushed into the scan predicate upstream.
+- **Grouped (default, ``funnel_counts_grouped``)**: ONE keyed repartition
+  on the user column (complete user groups per block) + a per-block
+  vectorized cascade over all stages at once — masked segment-mins via
+  ``np.minimum.reduceat``, +inf poisoning for users that miss a stage.
+  One row-scale exchange total. Partitioning assumption: a single user's
+  events fit one block (per-user volume, not corpus volume — the same
+  contract as the bucketed windows).
+- **Multipass (``funnel_counts``)**: k passes — stage 0 is a grouped-min
+  over the type-filtered stream; stage k attaches the previous stage's
+  per-user qualifying time via the size-guarded ``attach_dim``, filters
+  ``ts > t_prev`` vectorized, and reruns the grouped-min. No per-user
+  block assumption at all; the attach side shrinks monotonically.
 
-No SQL window functions are needed: the cascade is pure
+No SQL window functions are needed either way: the cascade is pure
 filter → grouped-min → attach, so the DuckDB oracle is the identical
-chain of CTEs (see ``queries.py``).
+chain of CTEs (see ``queries.py``). The module also hosts the cohort-
+retention triangle, which shares the keyed-repartition + segment-ops
+shape.
 """
 
 from __future__ import annotations

@@ -1,8 +1,6 @@
 """Round-5 operators: n-gram top-k, ROLLUP, funnel, grouped corr,
 FULL-OUTER aligned counts."""
 
-import math
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
