@@ -118,6 +118,46 @@ def funnel_counts(
     return pd.DataFrame(rows)
 
 
+def funnel_user_times_grouped(
+    ds,
+    stages: "list[str]",
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    n_rows: "int | None" = None,
+):
+    """Per-user qualifying time for every reached funnel stage, via the
+    single-exchange kernel (``emit="times"``): one keyed repartition, one
+    vectorized cascade per block. Returns a Dataset
+    ``(user, stage_idx, t_stage)`` — the grouped counterpart of
+    ``funnel_user_times`` (equality-tested), for when downstream needs
+    the times themselves (e.g. time-to-convert distributions)."""
+    from logparser_ray.stages.exchange import hash_shuffle
+    from logparser_ray.stages.windows import _exchange_blocks
+
+    if len(stages) < 1:
+        raise ValueError("funnel needs at least one stage")
+
+    def block_times(b: pa.Table) -> pa.Table:
+        return funnel_block_cascade(
+            b, stages, user_col=user_col, type_col=type_col,
+            ts_col=ts_col, emit="times",
+        )
+
+    proj = ds.select_columns([user_col, type_col, ts_col])
+    with hash_shuffle(proj):
+        return (
+            proj.repartition(
+                num_blocks=_exchange_blocks(n_rows), keys=[user_col]
+            )
+            .map_batches(
+                block_times, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .materialize()
+        )
+
+
 def cohort_retention(
     ds,
     *,
@@ -213,21 +253,30 @@ def funnel_block_cascade(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    emit: str = "counts",
 ) -> pa.Table:
     """The per-block funnel kernel (pure pyarrow/numpy, no Ray): given a
     block holding COMPLETE user groups, run the strictly-after cascade for
     every user simultaneously — per stage, a masked segment-min
     (`np.minimum.reduceat`) yields each user's qualifying time; users that
     miss a stage carry +inf so no later stage can qualify. Returns the
-    block's ``(stage_idx, n_users)`` partial counts. Module-level so the
-    Hypothesis property suite can drive it directly against a pure-Python
-    reference."""
+    block's ``(stage_idx, n_users)`` partial counts with
+    ``emit="counts"``, or one row per (user, reached stage) —
+    ``(user, stage_idx, t_stage)`` — with ``emit="times"``. Module-level
+    so the Hypothesis property suite can drive it directly against a
+    pure-Python reference."""
     import numpy as np
 
     k = len(stages)
     stage_idx = {s: i for i, s in enumerate(stages)}
     n = len(b)
     if n == 0:
+        if emit == "times":
+            return pa.table({
+                user_col: pa.array([], b.schema.field(user_col).type),
+                "stage_idx": pa.array([], pa.int64()),
+                "t_stage": pa.array([], pa.timestamp("us")),
+            })
         return pa.table({"stage_idx": pa.array([], pa.int64()),
                          "n_users": pa.array([], pa.int64())})
     users = b[user_col].to_numpy(zero_copy_only=False)
@@ -246,6 +295,8 @@ def funnel_block_cascade(
     INF = np.iinfo(np.int64).max
     prev = np.full(len(starts), np.iinfo(np.int64).min, dtype=np.int64)
     counts = np.zeros(k, dtype=np.int64)
+    out_users, out_stage, out_t = [], [], []
+    seg_users = users[starts]
     for i in range(k):
         mask = (code == i) & (ts > prev[seg])
         vals = np.where(mask, ts, INF)
@@ -254,7 +305,21 @@ def funnel_block_cascade(
         # starts are genuine group heads
         qual = tmin < INF
         counts[i] = int(qual.sum())
+        if emit == "times":
+            out_users.append(seg_users[qual])
+            out_stage.append(np.full(int(qual.sum()), i, dtype=np.int64))
+            out_t.append(tmin[qual])
         prev = np.where(qual, tmin, INF)
+    if emit == "times":
+        return pa.table(
+            {
+                user_col: pa.array(np.concatenate(out_users)),
+                "stage_idx": pa.array(np.concatenate(out_stage)),
+                "t_stage": pa.array(
+                    np.concatenate(out_t), pa.timestamp("us")
+                ),
+            }
+        )
     return pa.table(
         {
             "stage_idx": pa.array(np.arange(k, dtype=np.int64)),

@@ -321,3 +321,45 @@ def test_cohort_retention_multi_cohort(ray_session, impl):
     )
     got = out.astype({"week_offset": "int64", "n_users": "int64"})
     pd.testing.assert_frame_equal(got, ref.astype({"week_offset": "int64", "n_users": "int64"}))
+
+
+def test_funnel_user_times_grouped_matches_multipass(ray_session):
+    from logparser_ray.stages.funnel import (
+        funnel_user_times,
+        funnel_user_times_grouped,
+    )
+
+    rows = [
+        _ev(1, "A", "2024-01-01T00:00:00"),
+        _ev(1, "B", "2024-01-01T00:01:00"),
+        _ev(1, "C", "2024-01-01T00:02:00"),
+        _ev(2, "A", "2024-01-01T00:00:30"),
+        _ev(2, "B", "2024-01-01T00:00:10"),  # B before A → stops at A
+        _ev(3, "A", "2024-01-01T00:00:00"),
+        _ev(3, "B", "2024-01-01T00:05:00"),
+        _ev(3, "B", "2024-01-01T00:04:00"),  # earliest qualifying B wins
+    ]
+    t = pa.Table.from_pylist(rows)
+    stages = ["A", "B", "C"]
+    grouped = (
+        funnel_user_times_grouped(_ds(t).repartition(3), stages)
+        .to_pandas()
+        .sort_values(["stage_idx", "user_id"])
+        .reset_index(drop=True)
+    )
+    parts = []
+    for i, (_, d) in enumerate(funnel_user_times(_ds(t), stages)):
+        df = d.to_pandas().rename(columns={"t_stage": "t"})
+        df["stage_idx"] = i
+        parts.append(df[["user_id", "stage_idx", "t"]])
+    ref = (
+        pd.concat(parts, ignore_index=True)
+        .sort_values(["stage_idx", "user_id"])
+        .reset_index(drop=True)
+    )
+    assert grouped["user_id"].tolist() == ref["user_id"].tolist()
+    assert grouped["stage_idx"].tolist() == ref["stage_idx"].tolist()
+    assert (
+        pd.to_datetime(grouped["t_stage"]).tolist()
+        == pd.to_datetime(ref["t"]).tolist()
+    )
