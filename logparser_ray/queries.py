@@ -645,6 +645,7 @@ def q_events_union_extremes(sf_dir: str):
         FUNNEL_STAGES,
         n_rows=_parquet_rows(sf_dir, "events"),
     )
+    dt = fun[fun["stage_idx"] > 0]
     parts = [
         pd.DataFrame(
             {"part": "extremes", "grp": ext["event_type"], "n": ext["n"].astype("int64")}
@@ -654,6 +655,15 @@ def q_events_union_extremes(sf_dir: str):
                 "part": "funnel",
                 "grp": fun["stage_idx"].astype(str) + ":" + fun["stage"],
                 "n": fun["n_users"].astype("int64"),
+            }
+        ),
+        # exact total stage-to-stage conversion time (µs) per reached
+        # stage — mean time-to-convert = n / the matching funnel count
+        pd.DataFrame(
+            {
+                "part": "funnel_dt",
+                "grp": dt["stage_idx"].astype(str) + ":" + dt["stage"],
+                "n": dt["sum_dt_us"].astype("int64"),
             }
         ),
     ]
@@ -2698,7 +2708,13 @@ ORACLE = {
         "GROUP BY 2 "
         "UNION ALL SELECT 'funnel', '0:view', count(*) FROM s0 "
         "UNION ALL SELECT 'funnel', '1:click', count(*) FROM s1 "
-        "UNION ALL SELECT 'funnel', '2:purchase', count(*) FROM s2"
+        "UNION ALL SELECT 'funnel', '2:purchase', count(*) FROM s2 "
+        "UNION ALL SELECT 'funnel_dt', '1:click', "
+        "coalesce(CAST(sum(epoch_us(s1.t) - epoch_us(s0.t)) AS BIGINT), 0) "
+        "FROM s1 JOIN s0 USING (user_id) "
+        "UNION ALL SELECT 'funnel_dt', '2:purchase', "
+        "coalesce(CAST(sum(epoch_us(s2.t) - epoch_us(s1.t)) AS BIGINT), 0) "
+        "FROM s2 JOIN s1 USING (user_id)"
     ),
     "embeddings_knn": (
         "SELECT e.vec_id, CAST(floor(list_cosine_similarity("

@@ -295,6 +295,7 @@ def funnel_block_cascade(
     INF = np.iinfo(np.int64).max
     prev = np.full(len(starts), np.iinfo(np.int64).min, dtype=np.int64)
     counts = np.zeros(k, dtype=np.int64)
+    sum_dt = np.zeros(k, dtype=np.int64)  # Σ(t_i − t_{i-1}) over converters
     out_users, out_stage, out_t = [], [], []
     seg_users = users[starts]
     for i in range(k):
@@ -305,6 +306,8 @@ def funnel_block_cascade(
         # starts are genuine group heads
         qual = tmin < INF
         counts[i] = int(qual.sum())
+        if i > 0:
+            sum_dt[i] = int((tmin[qual] - prev[qual]).sum())
         if emit == "times":
             out_users.append(seg_users[qual])
             out_stage.append(np.full(int(qual.sum()), i, dtype=np.int64))
@@ -324,6 +327,8 @@ def funnel_block_cascade(
         {
             "stage_idx": pa.array(np.arange(k, dtype=np.int64)),
             "n_users": pa.array(counts),
+            # exact µs total of stage-to-stage conversion time (stage 0: 0)
+            "sum_dt_us": pa.array(sum_dt),
         }
     )
 
@@ -378,14 +383,15 @@ def funnel_counts_grouped(
             .to_pandas()  # k rows per block — driver-sized
         )
     agg = (
-        partials.groupby("stage_idx", as_index=False)["n_users"].sum()
+        partials.groupby("stage_idx", as_index=False)[["n_users", "sum_dt_us"]].sum()
         if len(partials)
-        else pd.DataFrame({"stage_idx": [], "n_users": []})
+        else pd.DataFrame({"stage_idx": [], "n_users": [], "sum_dt_us": []})
     )
     out = pd.DataFrame(
         {"stage_idx": range(k), "stage": stages}
     ).merge(agg, on="stage_idx", how="left")
     out["n_users"] = out["n_users"].fillna(0).astype("int64")
+    out["sum_dt_us"] = out["sum_dt_us"].fillna(0).astype("int64")
     return out
 
 
