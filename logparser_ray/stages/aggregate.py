@@ -56,6 +56,18 @@ def template_occurrences(ds, alias: str = "occurrences"):
     return counts.sort([alias, "template_id"], descending=[True, False])
 
 
+def _require_string_keys(b: pa.Table, keys: list[str], op: str) -> None:
+    """Rollup-family keys must be strings: coarser levels pad them with a
+    string fill, and a silent int key would union mismatched schemas."""
+    for k in keys:
+        t = b.schema.field(k).type
+        if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
+            raise TypeError(
+                f"{op} requires string key columns (pad levels carry the "
+                f"fill marker); column {k!r} is {t} — cast it upstream"
+            )
+
+
 def rollup_counts(ds, keys: list[str], *, sum_col: str | None = None,
                   alias: str = "n", fill: str = "*", batch_size=None):
     """Hierarchical ROLLUP aggregate (SQL ``GROUP BY ROLLUP(keys...)``):
@@ -76,6 +88,7 @@ def rollup_counts(ds, keys: list[str], *, sum_col: str | None = None,
     out_cols = [alias] if sum_col is None else [sum_col, alias]
 
     def partial(b: pa.Table) -> pa.Table:
+        _require_string_keys(b, keys, "rollup_counts")
         cols = keys + ([sum_col] if sum_col else [])
         agg = b.select(cols).group_by(keys).aggregate(aggs)
         return agg.rename_columns(keys + out_cols)
@@ -216,6 +229,7 @@ def grouping_sets_counts(ds, keys: list[str], sets: "list[list[str]]", *,
     out_cols = [alias] if sum_col is None else [sum_col, alias]
 
     def partial(b: pa.Table) -> pa.Table:
+        _require_string_keys(b, keys, "grouping_sets_counts")
         cols = keys + ([sum_col] if sum_col else [])
         agg = b.select(cols).group_by(keys).aggregate(aggs)
         return agg.rename_columns(keys + out_cols)

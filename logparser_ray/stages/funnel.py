@@ -267,6 +267,8 @@ def funnel_block_cascade(
     pure-Python reference."""
     import numpy as np
 
+    if emit not in ("counts", "times"):
+        raise ValueError(f"emit must be 'counts' or 'times', got {emit!r}")
     k = len(stages)
     stage_idx = {s: i for i, s in enumerate(stages)}
     n = len(b)

@@ -254,6 +254,8 @@ def ngram_counts_batch(
     candidate window) drops the windows that straddle two documents. SQL
     parity (n=2): ``toks[i] || ' ' || toks[i+1]`` for i in 1..len-1.
     """
+    if n < 1:
+        raise ValueError(f"n-gram size must be >= 1, got {n}")
     toks = _tokens(batch[text_col].combine_chunks())
     offs = np.asarray(toks.offsets, dtype=np.int64)
     empty = pa.table(

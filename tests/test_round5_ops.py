@@ -363,3 +363,22 @@ def test_funnel_user_times_grouped_matches_multipass(ray_session):
         pd.to_datetime(grouped["t_stage"]).tolist()
         == pd.to_datetime(ref["t"]).tolist()
     )
+
+
+def test_rollup_rejects_non_string_keys(ray_session):
+    t = pa.table({"k": pa.array([1, 2], pa.int64())})
+    with pytest.raises(Exception, match="string key"):
+        rollup_counts(_ds(t), ["k"]).to_pandas()
+
+
+def test_ngram_rejects_n_zero(ray_session):
+    with pytest.raises(ValueError, match=">= 1"):
+        ngram_counts_batch(pa.table({"text": ["a b"]}), "text", 0)
+
+
+def test_funnel_kernel_rejects_bad_emit(ray_session):
+    from logparser_ray.stages.funnel import funnel_block_cascade
+
+    t = pa.Table.from_pylist([_ev(1, "A", "2024-01-01T00:00:00")])
+    with pytest.raises(ValueError, match="emit"):
+        funnel_block_cascade(t, ["A"], emit="nope")
