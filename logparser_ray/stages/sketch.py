@@ -361,11 +361,13 @@ def grouped_corr(
     # moments live (Σx² at price-cents scale crosses 2⁶³ in the millions
     # of rows); the partial table is summary-sized so a dict fold is free
     acc: "dict[tuple, list[int]]" = {}
-    for row in pdf.itertuples(index=False):
-        gk = tuple(getattr(row, k) for k in keys)
+    # name=None → plain tuples: attribute access would silently rename
+    # non-identifier key columns (spaces, leading digits) to _1, _2, …
+    for vals in pdf[keys + mom].itertuples(index=False, name=None):
+        gk = tuple(vals[: len(keys)])
         slot = acc.setdefault(gk, [0] * len(mom))
-        for j, c in enumerate(mom):
-            slot[j] += int(getattr(row, c))
+        for j in range(len(mom)):
+            slot[j] += int(vals[len(keys) + j])
     if not acc:
         return pd.DataFrame(columns=keys + ["corr_scaled"])
     merged = pd.DataFrame(
