@@ -70,7 +70,8 @@ def _require_string_keys(b: pa.Table, keys: list[str], op: str) -> None:
 
 def rollup_counts(ds, keys: list[str], *, sum_col: str | None = None,
                   alias: str = "n", fill: str = "*", batch_size=None):
-    """Hierarchical ROLLUP aggregate (SQL ``GROUP BY ROLLUP(keys...)``):
+    """Hierarchical ROLLUP aggregate (public shape: ANSI SQL
+    ``GROUP BY ROLLUP``, Gray et al. "Data Cube" ICDE 1996):
     grouped counts (+ one optional int64 sum) at EVERY prefix level of
     ``keys`` — (k1,k2), (k1,'*'), ('*','*') for two keys — in one scan of
     the fact table.
@@ -207,7 +208,8 @@ def aligned_counts(left_ds, right_ds, key: str, *, batch_size=None):
 def grouping_sets_counts(ds, keys: list[str], sets: "list[list[str]]", *,
                          sum_col: str | None = None, alias: str = "n",
                          fill: str = "*", batch_size=None):
-    """SQL ``GROUP BY GROUPING SETS`` / ``CUBE``: grouped counts (+ one
+    """ANSI SQL ``GROUP BY GROUPING SETS`` / ``CUBE`` (Gray et al.,
+    ICDE 1996): grouped counts (+ one
     optional int64 sum) at every requested subset of ``keys``.
 
     Same scale shape as ``rollup_counts``: the fact table is scanned once

@@ -285,7 +285,10 @@ def grouped_corr(
     *,
     scale: int = 1_000_000,
 ) -> pd.DataFrame:
-    """Pearson correlation per group from EXACT integer moments.
+    """Pearson correlation per group from EXACT integer moments (public
+    shape: the textbook moment identity r = (nΣxy − ΣxΣy) /
+    √((nΣx² − (Σx)²)(nΣy² − (Σy)²)), distributed as mergeable partials —
+    the same algebra SQL's ``corr()`` uses).
 
     ``x_col``/``y_col`` must already be int64 (the caller applies the same
     integerization — e.g. cents — that the SQL oracle applies per row).
