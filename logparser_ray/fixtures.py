@@ -526,3 +526,22 @@ def ensure_transcripts(
     with open(done, "w") as f:
         f.write("ok\n")
     return tdir, (gpath if with_golden else None)
+
+
+def ensure_media(n: int = 64, seed: int = 5) -> str:
+    """Write the F-media fixture (decodable PPM/WAV payloads + the
+    GENERATOR'S golden width/height/sample_rate columns) to a
+    deterministic cache parquet — the multimodal analogue of the
+    transcripts golden: the engine decodes the payload bytes, the DuckDB
+    oracle reads the generator's labels from the same file, and equality
+    proves the decode end to end. Pure pyarrow (no Ray); idempotent."""
+    from logparser_ray.stages.multimodal import make_real_media_table
+
+    path = os.path.join(transcripts_cache_dir(), f"media_n{n}_s{seed}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+        os.close(fd)
+        pq.write_table(make_real_media_table(n=n, seed=seed), tmp)
+        os.replace(tmp, path)
+    return path

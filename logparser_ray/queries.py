@@ -1848,11 +1848,48 @@ def q_docs_decontaminate(sf_dir: str):
 
 def q_media_features(sf_dir: str):
     """Real multimodal decode (pure-numpy PPM/WAV codecs) through the
-    actor-pool featurizer stage — decoder='real', not the sha256 stub."""
-    from logparser_ray.stages.multimodal import make_real_media_table
+    actor-pool featurizer stage — decoder='real', not the sha256 stub.
 
-    ds = ray.data.from_arrow(make_real_media_table(n=64))
-    return featurize_media(ds, decoder="real")
+    Round 5: SQL-oracled via the golden-label technique (the transcripts
+    pattern applied to binary media): the deterministic fixture parquet
+    carries the GENERATOR'S width/height/sample_rate, while this query
+    returns dimensions DECODED from the payload bytes (features[0:2] for
+    images/video, features[1]·1e3 for audio) — hash equality proves the
+    decode chain byte-for-byte. Features themselves stay pytest-pinned
+    (floats are not SQL-re-derivable)."""
+    from logparser_ray.stages.multimodal import featurize_media as _fm
+
+    path = fixtures.ensure_media(n=64, seed=5)
+    ds = ray.data.read_parquet(path).drop_columns(
+        ["width", "height", "sample_rate"]  # golden labels stay oracle-side
+    )
+    feats = _fm(ds, decoder="real")
+
+    def decoded_dims(b: pa.Table) -> pa.Table:
+        f = np.stack(
+            [np.asarray(x, dtype=np.float32) for x in b["features"].to_pylist()]
+        )
+        kinds = np.asarray(b["kind"].to_pylist(), dtype=object)
+        audio = kinds == "audio"
+        w = np.where(audio, -1, f[:, 0].astype(np.int64)).astype(np.int64)
+        h = np.where(audio, -1, f[:, 1].astype(np.int64)).astype(np.int64)
+        rate = np.where(
+            audio, np.floor(f[:, 1] * 1e3 + 0.5).astype(np.int64), -1
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "media_id": b["media_id"],
+                "kind": b["kind"],
+                "width": pa.array(w),
+                "height": pa.array(h),
+                "sample_rate": pa.array(rate),
+                "n_bytes": b["n_bytes"],
+            }
+        )
+
+    return feats.map_batches(
+        decoded_dims, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def _miner_union_query(fits: dict):
@@ -2243,6 +2280,8 @@ QUERIES = {
     # the three approximate-ANN paths consolidated into one tagged union
     # (audit-cap discipline; pytest pins their exactness properties)
     "embeddings_ann_approx": q_embeddings_ann_approx,
+    # round 5: oracled via the golden-label fixture parquet (decode vs
+    # the generator's width/height/sample_rate labels)
     "media_features": q_media_features,
     "evaluator_drain": q_evaluator_drain,
     # evaluator_fixture is pytest-owned (tests/test_extras.py) — not
@@ -3051,3 +3090,21 @@ def _rawlog_oracle_sql() -> str:
 
 
 ORACLE["rawlog_structured"] = _rawlog_oracle_sql()
+
+
+def _media_oracle_sql() -> str:
+    """Golden-label oracle for the multimodal decode: the fixture parquet
+    carries the generator's width/height/sample_rate; the engine side
+    re-derives them by DECODING the payload bytes. ``octet_length`` pins
+    the payload plumbing too."""
+    path = fixtures.ensure_media(n=64, seed=5)
+    return (
+        "SELECT media_id, kind, CAST(width AS BIGINT) AS width, "
+        "CAST(height AS BIGINT) AS height, "
+        "CAST(sample_rate AS BIGINT) AS sample_rate, "
+        "CAST(octet_length(payload) AS BIGINT) AS n_bytes "
+        f"FROM read_parquet('{path}')"
+    )
+
+
+ORACLE["media_features"] = _media_oracle_sql()
