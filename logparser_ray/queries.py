@@ -1553,30 +1553,16 @@ def q_docs_fingerprints(sf_dir: str):
 
 
 def q_docs_textstats_extras(sf_dir: str):
-    """Tagged union of the rows-only textstat audits (langid confusion
-    counts, rolling-hash fingerprint clusters, unigram cross-entropy
-    quality scores) — one driver-audited entry so all stay inside the
-    50-entry cap. Per-kernel semantics are pinned by
-    tests/test_extras.py (vectorized kernels + xent hand-check)."""
+    """Language-ID confusion matrix (true lang × argmax marker-count
+    guess), SQL-oracled in round 5: the generated DuckDB CASE replicates
+    ``langid_batch`` exactly — per-language occurrence counts via
+    ``list_filter``, first-max-wins argmax in sorted language order,
+    zero-hit → 'und'. The formerly-unioned fingerprint/xent audits moved
+    to ``docs_near_dup_audit`` (rows-only there; pytest-pinned)."""
     import pandas as pd
 
-    from logparser_ray.stages.textstats import unigram_xent
-
     li = q_docs_langid(sf_dir).to_pandas()
-    fp = q_docs_fingerprints(sf_dir).to_pandas()
-    xe = (
-        unigram_xent(_read(sf_dir, "documents", columns=["doc_id", "text"]))
-        .to_pandas()
-    )
-    parts = [
-        pd.DataFrame(
-            {
-                "part": "xent",
-                "a": xe["doc_id"].astype(str),
-                "b": "",
-                "n": xe["xent_bp"].astype("int64"),
-            }
-        ),
+    return (
         pd.DataFrame(
             {
                 "part": "langid",
@@ -1584,18 +1570,7 @@ def q_docs_textstats_extras(sf_dir: str):
                 "b": li["lang_guess"].astype(str),
                 "n": li["n"].astype("int64"),
             }
-        ),
-        pd.DataFrame(
-            {
-                "part": "fingerprint",
-                "a": fp["fingerprint"].astype(str),
-                "b": "",
-                "n": fp["n_docs"].astype("int64"),
-            }
-        ),
-    ]
-    return (
-        pd.concat(parts, ignore_index=True)
+        )
         .sort_values(["part", "a", "b"], kind="mergesort")
         .reset_index(drop=True)
     )
@@ -1677,15 +1652,19 @@ def q_docs_tfidf_topk(sf_dir: str):
 
 
 def q_docs_near_dup_audit(sf_dir: str):
-    """Tagged union of the rows-only near-dup audits (MinHash-LSH unigram
-    pairs, banded-Hamming SimHash pairs, exact-simhash clusters, and the
-    round-4 incremental cross-snapshot matches) — one driver-audited entry
-    (audit-cap discipline; per-path semantics are pinned by the
-    planted-dup / pigeonhole-recall / cross-side-subset tests in
+    """Tagged union of the rows-only near-dup / content-analysis audits
+    (MinHash-LSH unigram pairs, banded-Hamming SimHash pairs,
+    exact-simhash clusters, the round-4 incremental cross-snapshot
+    matches, and — moved here in round 5 so `docs_textstats_extras` could
+    become SQL-oracled — rolling-hash fingerprint clusters and per-doc
+    unigram cross-entropy) — one driver-audited entry (audit-cap
+    discipline; per-path semantics are pinned by the planted-dup /
+    pigeonhole-recall / cross-side-subset / hand-computed-xent tests in
     tests/test_extras.py)."""
     import pandas as pd
 
     from logparser_ray.stages.dedup import minhash_against_prior
+    from logparser_ray.stages.textstats import unigram_xent
 
     mh = q_docs_unigram_near_dupes(sf_dir)
     sp = q_docs_simhash_near_dupes(sf_dir)
@@ -1738,6 +1717,29 @@ def q_docs_near_dup_audit(sf_dir: str):
                 "a": inc["doc_id"].astype("int64"),
                 "b": inc["dup_of"].astype("int64"),
                 "val": np.floor(inc["jaccard"] * 10_000 + 0.5).astype("int64"),
+            }
+        ),
+    ]
+    fp = q_docs_fingerprints(sf_dir).to_pandas()
+    xe = unigram_xent(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ).to_pandas()
+    parts += [
+        pd.DataFrame(
+            {
+                "method": "fingerprint",
+                # uint64 FNV fingerprints ride as their int64 bit pattern
+                "a": fp["fingerprint"].to_numpy().astype(np.uint64).view(np.int64),
+                "b": np.int64(0),
+                "val": fp["n_docs"].astype("int64"),
+            }
+        ),
+        pd.DataFrame(
+            {
+                "method": "xent",
+                "a": xe["doc_id"].astype("int64"),
+                "b": np.int64(0),
+                "val": xe["xent_bp"].astype("int64"),
             }
         ),
     ]
@@ -2274,8 +2276,8 @@ QUERIES = {
     # (audit-cap discipline — freed the slots docs_curation and
     # docs_tfidf_topk now hold)
     "docs_near_dup_audit": q_docs_near_dup_audit,
-    # langid confusion + fingerprint clusters, consolidated (audit-cap
-    # discipline — freed the slot docs_stratified_sample now holds)
+    # round 5: langid confusion alone, SQL-oracled via the generated
+    # argmax CASE (fingerprint/xent audits moved into docs_near_dup_audit)
     "docs_textstats_extras": q_docs_textstats_extras,
     # the three approximate-ANN paths consolidated into one tagged union
     # (audit-cap discipline; pytest pins their exactness properties)
@@ -3108,3 +3110,38 @@ def _media_oracle_sql() -> str:
 
 
 ORACLE["media_features"] = _media_oracle_sql()
+
+
+def _langid_oracle_sql() -> str:
+    """Generated replica of ``langid_batch``: per-language marker-token
+    OCCURRENCE counts (``list_filter`` keeps duplicates, like the
+    engine's ``is_in`` sum), argmax with first-max-wins in sorted
+    language order (each CASE branch requires >= only against LATER
+    languages — an earlier language holding the max would have taken an
+    earlier branch), zero hits → 'und'."""
+    from logparser_ray.stages.textstats import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    count_exprs = []
+    for i, lang in enumerate(langs):
+        toks = ", ".join(f"'{t}'" for t in sorted(LANG_MARKERS[lang]))
+        count_exprs.append(
+            f"len(list_filter(toks, t -> t IN ({toks}))) AS c{i}"
+        )
+    zero = " AND ".join(f"c{i} = 0" for i in range(len(langs)))
+    branches = []
+    for i, lang in enumerate(langs):
+        conds = [f"c{i} >= c{j}" for j in range(i + 1, len(langs))]
+        cond = " AND ".join(conds) if conds else "TRUE"
+        branches.append(f"WHEN {cond} THEN '{lang}'")
+    case = f"CASE WHEN {zero} THEN 'und' " + " ".join(branches) + " END"
+    return (
+        "WITH t AS (SELECT lang, string_split(text, ' ') AS toks "
+        "FROM documents), "
+        "c AS (SELECT lang, " + ", ".join(count_exprs) + " FROM t) "
+        f"SELECT 'langid' AS part, lang AS a, {case} AS b, "
+        "count(*) AS n FROM c GROUP BY 1, 2, 3"
+    )
+
+
+ORACLE["docs_textstats_extras"] = _langid_oracle_sql()
